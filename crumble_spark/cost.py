@@ -1,0 +1,66 @@
+"""Cost model: exact candidate sizing + argmin codec selection per block.
+
+Crumble scores every column with *two* consensus models and applies the
+stricter verdict (snp_score.c:1523-1543); we score every candidate codec
+and take the cheapest, with RAW always in the candidate set so the worst
+case is the input size — the `preserve` fallback (snp_score.c:1624-1649).
+
+All candidate sizes except FSST are *exact* closed forms over BlockStats,
+so selection never mispredicts; FSST requires a trial encode and is gated
+by cheap stats (periodicity scan), mirroring crumble's -Y work-skipping
+gate (snp_score.c:1732).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import codecs, stats
+from .codecs import constant, dictionary, for_bp, raw, rle
+from .codecs import delta_bp as delta
+
+# FSST trial gates
+FSST_MIN_N = 64
+FSST_MAX_CARD = 1024
+FSST_MIN_PERIODICITY = 0.35
+
+
+def candidate_sizes(st: stats.BlockStats) -> dict[int, int]:
+    """Exact encoded size per cheap candidate codec."""
+    sizes = {codecs.RAW: raw.size(st.n)}
+    if st.card == 1:
+        sizes[codecs.CONSTANT] = constant.SIZE
+        return sizes
+    sizes[codecs.FOR_BP] = for_bp.size(st.n, st.vmax - st.vmin)
+    sizes[codecs.RLE] = rle.size(st.n_runs, st.run_vrange, st.max_run_len)
+    _, _, dsz = dictionary.plan(st.counts_desc, st.n)
+    sizes[codecs.DICT] = dsz
+    sizes[codecs.DELTA_BP] = delta.size(st.n, st.max_zigzag)
+    return sizes
+
+
+def choose(a: np.ndarray) -> tuple[int, bytes]:
+    """Pick the cheapest codec for one block and encode it.
+
+    a: non-empty int64/int32 array. Returns (codec_id, payload).
+    """
+    a = np.asarray(a, dtype=np.int64)
+    st = stats.compute(a)
+    sizes = candidate_sizes(st)
+    best_id = min(sizes, key=lambda c: (sizes[c], c))
+    best_size = sizes[best_id]
+
+    payload = codecs.encode(best_id, a)
+    assert len(payload) == best_size, (best_id, len(payload), best_size)
+
+    # FSST: only worth a trial when repeats exist that RLE/dict can't see
+    if (
+        st.n >= FSST_MIN_N
+        and 1 < st.card <= FSST_MAX_CARD
+        and best_size * 8 > st.n
+        and stats.periodicity(a) >= FSST_MIN_PERIODICITY
+    ):
+        trial = codecs.encode(codecs.FSST, a)
+        if len(trial) < best_size:
+            return codecs.FSST, trial
+    return best_id, payload

@@ -1,0 +1,90 @@
+"""The encode stage: chunk → stats → pick codec → emit blocks, one fused
+Arrow pass (mapInPandas), the engine analogue of crumble's single fused
+transcode loop (snp_score.c:1336-2029): all decisions are local to a
+bounded block, the transform is verified (row_hash), and a verbatim RAW
+fallback bounds the worst case.
+
+Catalyst note: the pipeline stays one narrow stage — scan → (optional
+salted repartition, partitioning.py) → mapInPandas → sink.  No shuffle is
+introduced by encoding itself.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import DEFAULT_BLOCK_SIZE, cost
+from .schema import ENCODED_SCHEMA
+
+BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
+
+
+def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
+    """Encode one token array → (blocks, bytes_out, row_hash).
+
+    Blocks never cross row boundaries (SURVEY.md §7.6) so row round-trip
+    equality is local, mirroring crumble bounding all decisions to a
+    ±250bp window (snp_score.c:1229).
+    """
+    a = np.ascontiguousarray(a, dtype=np.int32)
+    row_hash = zlib.crc32(a.astype("<i4", copy=False).tobytes())
+    blocks = []
+    bytes_out = 0
+    for bi, off in enumerate(range(0, len(a), block_size)):
+        chunk = a[off : off + block_size]
+        codec_id, payload = cost.choose(chunk)
+        blocks.append(
+            {"block_id": bi, "codec_id": codec_id, "n": len(chunk), "payload": payload}
+        )
+        bytes_out += len(payload) + BLOCK_OVERHEAD
+    return blocks, bytes_out, row_hash
+
+
+def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.DataFrame:
+    """Pure-pandas kernel (unit-testable without Spark)."""
+    out = {
+        "doc_id": pdf["doc_id"].to_numpy(),
+        "source": pdf["source"].to_numpy(),
+        "n_tok": pdf["n_tok"].to_numpy().astype(np.int32),
+        "split_id": pdf["split_id"].to_numpy().astype(np.int32),
+    }
+    blocks_col, bout_col, hash_col = [], [], []
+    for toks in pdf["tokens"]:
+        blocks, bytes_out, row_hash = encode_tokens(np.asarray(toks), block_size)
+        blocks_col.append(blocks)
+        bout_col.append(bytes_out)
+        hash_col.append(row_hash)
+    out["blocks"] = blocks_col
+    out["bytes_in"] = (out["n_tok"].astype(np.int64)) * 4
+    out["bytes_out"] = np.array(bout_col, dtype=np.int64)
+    out["row_hash"] = np.array(hash_col, dtype=np.int64)
+    return pd.DataFrame(out)
+
+
+def with_split_id(df: DataFrame, n_splits: int) -> DataFrame:
+    """Deterministic split assignment (hash of doc_id) — stable across
+    runs/cluster sizes, which is what makes lineage-based resume sound."""
+    return df.withColumn(
+        "split_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_splits)).cast("int")
+    )
+
+
+def encode_df(
+    df: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE, n_splits: int = 256
+) -> DataFrame:
+    """tokens table → encoded table (blocks of codec-tagged payloads)."""
+    if "split_id" not in df.columns:
+        df = with_split_id(df, n_splits)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf):
+                yield encode_pdf(pdf, block_size)
+
+    return df.mapInPandas(fn, schema=ENCODED_SCHEMA)

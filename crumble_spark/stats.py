@@ -1,0 +1,80 @@
+"""Per-block statistics kernel (pure numpy).
+
+The analogue of crumble's consensus scoring (snp_score.c:533-797): fold a
+block into a small stats record that drives the keep-vs-transform decision.
+Here the stats are exact (min/max/bit-width, cardinality with counts,
+run-length structure, delta range, lag periodicity) and the decision is
+per-chunk codec selection (cost.py).
+
+Cheap-stats-gate-expensive-analysis mirrors crumble's -Y indel_fract gate
+(snp_score.c:1732): the lag-periodicity scan (STR-finder analogue,
+str_finder.c:135-189) only runs when the cheap candidates leave room to
+improve, and only then is an FSST trial encode attempted.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from . import bitpack
+
+MAX_LAG = 8  # STR finder searches periods 1..8 (str_finder.h:13)
+
+
+@dataclass
+class BlockStats:
+    n: int
+    vmin: int
+    vmax: int
+    card: int
+    counts_desc: np.ndarray  # distinct-value counts, descending
+    n_runs: int
+    run_vrange: int
+    max_run_len: int
+    max_zigzag: int
+
+    @property
+    def bit_width(self) -> int:
+        return bitpack.width_for(self.vmax - self.vmin)
+
+
+def compute(a: np.ndarray) -> BlockStats:
+    """a: non-empty int64 array (one block)."""
+    n = len(a)
+    vmin = int(a.min())
+    vmax = int(a.max())
+    _, counts = np.unique(a, return_counts=True)
+    counts_desc = np.sort(counts)[::-1]
+    starts = np.concatenate(([0], np.flatnonzero(a[1:] != a[:-1]) + 1))
+    rvals = a[starts]
+    lengths = np.diff(np.concatenate((starts, [n])))
+    zz = bitpack.zigzag(np.diff(a)) if n > 1 else np.zeros(0, np.uint64)
+    return BlockStats(
+        n=n,
+        vmin=vmin,
+        vmax=vmax,
+        card=len(counts),
+        counts_desc=counts_desc,
+        n_runs=len(starts),
+        run_vrange=int(rvals.max() - rvals.min()),
+        max_run_len=int(lengths.max()),
+        max_zigzag=int(zz.max()) if len(zz) else 0,
+    )
+
+
+def periodicity(a: np.ndarray, max_lag: int = MAX_LAG) -> float:
+    """Max fraction of positions equal to the position `lag` back, over
+    lags 2..max_lag (lag 1 is run structure, already owned by RLE).
+
+    Vectorized np.equal lag comparison — the numeric STR finder
+    (str_finder.c:135-189 does the same via a rolling 2-bit word).
+    """
+    n = len(a)
+    best = 0.0
+    for lag in range(2, min(max_lag, n - 1) + 1):
+        frac = float(np.count_nonzero(a[lag:] == a[:-lag])) / (n - lag)
+        if frac > best:
+            best = frac
+    return best

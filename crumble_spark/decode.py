@@ -8,32 +8,40 @@ operator, not only a test.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from . import codecs
+from . import codecs, hashing
 from .schema import TOKENS_SCHEMA
 
 
-def decode_blocks(blocks) -> np.ndarray:
+def decode_blocks(blocks, verify: bool = False) -> np.ndarray:
     if blocks is None or len(blocks) == 0:
-        return np.zeros(0, dtype=np.int32)
-    parts = [codecs.decode(b["codec_id"], bytes(b["payload"]), b["n"]) for b in blocks]
-    return np.concatenate(parts) if parts else np.zeros(0, dtype=np.int32)
+        empty = np.zeros(0, dtype=np.int32)
+        return (empty, 0) if verify else empty
+    parts = []
+    hashes = []
+    for b in blocks:
+        chunk = codecs.decode(b["codec_id"], bytes(b["payload"]), b["n"])
+        if verify:
+            hashes.append(hashing.block_hash(b["block_id"], chunk))
+        parts.append(chunk)
+    out = np.concatenate(parts) if parts else np.zeros(0, dtype=np.int32)
+    return (out, hashing.combine(hashes)) if verify else out
 
 
 def decode_pdf(pdf: pd.DataFrame, verify: bool = True) -> pd.DataFrame:
     toks_col = []
     for blocks, row_hash, doc_id in zip(pdf["blocks"], pdf["row_hash"], pdf["doc_id"]):
-        a = decode_blocks(blocks)
         if verify:
-            h = zlib.crc32(a.astype("<i4", copy=False).tobytes())
+            a, h = decode_blocks(blocks, verify=True)
             if h != int(row_hash):
                 raise ValueError(f"round-trip hash mismatch for doc_id={doc_id}")
+        else:
+            a = decode_blocks(blocks)
         toks_col.append(a)
     return pd.DataFrame(
         {

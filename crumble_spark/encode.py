@@ -11,7 +11,6 @@ introduced by encoding itself.
 
 from __future__ import annotations
 
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -19,10 +18,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from . import DEFAULT_BLOCK_SIZE, cost
+from . import DEFAULT_BLOCK_SIZE, cost, hashing
 from .schema import ENCODED_SCHEMA
 
 BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
+# bounded-memory guard: one kernel slice never holds more than this many
+# tokens, regardless of how many giant rows share an Arrow batch
+# (crumble's MAX_DEPTH bail analogue, snp_score.c:92,1493-1500)
+MAX_TOKENS_PER_SLICE = 8_000_000
 
 
 def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
@@ -33,9 +36,9 @@ def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
     ±250bp window (snp_score.c:1229).
     """
     a = np.ascontiguousarray(a, dtype=np.int32)
-    row_hash = zlib.crc32(a.astype("<i4", copy=False).tobytes())
     blocks = []
     bytes_out = 0
+    hashes = []
     for bi, off in enumerate(range(0, len(a), block_size)):
         chunk = a[off : off + block_size]
         codec_id, payload = cost.choose(chunk)
@@ -43,7 +46,8 @@ def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
             {"block_id": bi, "codec_id": codec_id, "n": len(chunk), "payload": payload}
         )
         bytes_out += len(payload) + BLOCK_OVERHEAD
-    return blocks, bytes_out, row_hash
+        hashes.append(hashing.block_hash(bi, chunk))
+    return blocks, bytes_out, hashing.combine(hashes)
 
 
 def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.DataFrame:
@@ -69,7 +73,10 @@ def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.Da
 
 def with_split_id(df: DataFrame, n_splits: int) -> DataFrame:
     """Deterministic split assignment (hash of doc_id) — stable across
-    runs/cluster sizes, which is what makes lineage-based resume sound."""
+    runs/cluster sizes, which is what makes lineage-based resume sound.
+    Idempotent: a df that already carries split_id passes through."""
+    if "split_id" in df.columns:
+        return df
     return df.withColumn(
         "split_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_splits)).cast("int")
     )
@@ -84,7 +91,23 @@ def encode_df(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if len(pdf):
-                yield encode_pdf(pdf, block_size)
+            for sl in bounded_slices(pdf):
+                yield encode_pdf(sl, block_size)
 
     return df.mapInPandas(fn, schema=ENCODED_SCHEMA)
+
+
+def bounded_slices(pdf: pd.DataFrame, max_tokens: int = MAX_TOKENS_PER_SLICE):
+    """Split an Arrow batch into slices bounded by total token count, so a
+    batch full of pathological long documents cannot blow executor memory."""
+    if len(pdf) == 0:
+        return
+    cum = pdf["n_tok"].to_numpy().astype(np.int64).cumsum()
+    start = 0
+    base = 0
+    for i in range(len(pdf)):
+        if cum[i] - base > max_tokens and i > start:
+            yield pdf.iloc[start:i]
+            start = i
+            base = cum[i - 1]
+    yield pdf.iloc[start:]

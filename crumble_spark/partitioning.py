@@ -1,0 +1,141 @@
+"""Explicit partitioning & skew handling (north_rule requirement).
+
+Crumble's skew is coverage depth, guarded by a decayed running average and
+a MAX_DEPTH bail (snp_score.c:1671-1687, 92, 1493-1500).  Ours is token
+count: a few documents carry orders of magnitude more tokens than the
+median (FIXTURES.md skew fixture).  Three layers of defense:
+
+1. salted repartition — work is spread by hash(doc_id) salt, not by
+   source, so one hot source cannot pin a straggler task;
+2. giant-document block-parallel path — rows above a token threshold are
+   exploded into per-block rows, encoded wherever the shuffle puts them,
+   and reassembled by a groupBy(doc_id); row_hash is block-combinable
+   (hashing.py) precisely so this path needs no full-row pass anywhere;
+3. bounded Arrow slices inside the kernel (encode.bounded_slices) as the
+   last-resort memory guard, plus AQE skew-join/partition coalescing as
+   the runtime backstop.
+
+At 100 TB the same code holds: the threshold is per-task memory-derived,
+the explode is a narrow op, and the one shuffle (reassembly groupBy) moves
+only encoded bytes — i.e. post-compression, typically 5-20x smaller than
+the input.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import DEFAULT_BLOCK_SIZE, cost, hashing
+from .encode import BLOCK_OVERHEAD, encode_df, with_split_id
+from .schema import BLOCK_SCHEMA, ENCODED_SCHEMA
+
+GIANT_ROW_TOKENS = 262_144  # rows longer than this take the block-parallel path
+
+_CHUNK_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("source", T.StringType(), False),
+        T.StructField("n_tok", T.IntegerType(), False),
+        T.StructField("split_id", T.IntegerType(), False),
+        T.StructField("block_id", T.IntegerType(), False),
+        T.StructField("block", BLOCK_SCHEMA, False),
+        T.StructField("block_bytes", T.LongType(), False),
+        T.StructField("block_hash", T.LongType(), False),
+    ]
+)
+
+
+def salted_repartition(df: DataFrame, n_parts: int, salt_buckets: int = 64) -> DataFrame:
+    """Hash-salted repartition on doc_id — uniform rows per task regardless
+    of source skew. Deterministic (xxhash64), so plans are reproducible."""
+    return df.repartition(
+        n_parts, F.pmod(F.xxhash64("doc_id"), F.lit(salt_buckets * n_parts))
+    )
+
+
+def _encode_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Kernel for pre-exploded (one row == one block) chunk rows."""
+    for pdf in batches:
+        if not len(pdf):
+            continue
+        rows = []
+        for doc_id, toks, n_tok, source, split_id, bi in zip(
+            pdf["doc_id"], pdf["tokens"], pdf["n_tok"], pdf["source"],
+            pdf["split_id"], pdf["block_id"],
+        ):
+            chunk = np.asarray(toks, dtype=np.int32)
+            codec_id, payload = cost.choose(chunk)
+            bi = int(bi)
+            rows.append(
+                (
+                    doc_id,
+                    source,
+                    int(n_tok),
+                    int(split_id),
+                    bi,
+                    {"block_id": bi, "codec_id": codec_id, "n": len(chunk), "payload": payload},
+                    len(payload) + BLOCK_OVERHEAD,
+                    hashing.block_hash(bi, chunk),
+                )
+            )
+        yield pd.DataFrame(rows, columns=[f.name for f in _CHUNK_SCHEMA.fields])
+
+
+def encode_giant_rows(df: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> DataFrame:
+    """Block-parallel encode for giant documents.
+
+    Explode each row into per-block chunk rows *before* the heavy work, so
+    the chunks of one document land on many tasks; reassemble with one
+    groupBy over already-encoded (small) payloads.
+    """
+    # one exploded row per block: slice(tokens, ...) keeps this JVM-side
+    nb = F.ceil(F.col("n_tok") / F.lit(block_size)).cast("int")
+    exploded = (
+        df.withColumn("block_id", F.explode(F.sequence(F.lit(0), nb - 1)))
+        .withColumn(
+            "tokens", F.slice("tokens", F.col("block_id") * block_size + 1, block_size)
+        )
+    )
+    # spread blocks uniformly; the subsequent mapInPandas sees ~equal work
+    exploded = exploded.repartition(F.xxhash64("doc_id", "block_id"))
+    chunks = exploded.mapInPandas(_encode_chunks, schema=_CHUNK_SCHEMA)
+    return (
+        chunks.groupBy("doc_id", "source", "n_tok", "split_id")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("block_id", "block"))).alias("bs"),
+            F.sum("block_bytes").alias("bytes_out"),
+            F.sum("block_hash").alias("row_hash"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tok",
+            "split_id",
+            F.col("bs.block").alias("blocks"),
+            (F.col("n_tok").cast("long") * 4).alias("bytes_in"),
+            "bytes_out",
+            "row_hash",
+        )
+    )
+
+
+def encode_df_skewaware(
+    df: DataFrame,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    n_splits: int = 256,
+    giant_threshold: int = GIANT_ROW_TOKENS,
+) -> DataFrame:
+    """Route giant rows to the block-parallel path, everything else to the
+    fused single-pass path; union the (identical) encoded schemas."""
+    df = with_split_id(df, n_splits)
+    small = df.filter(F.col("n_tok") <= giant_threshold)
+    big = df.filter(F.col("n_tok") > giant_threshold)
+    enc_small = encode_df(small, block_size=block_size, n_splits=n_splits)
+    enc_big = encode_giant_rows(big, block_size=block_size)
+    return enc_small.unionByName(enc_big.select(*[f.name for f in ENCODED_SCHEMA.fields]))

@@ -1,0 +1,61 @@
+"""Skew handling: giant documents take the block-parallel path and still
+round-trip bit-identically with the same row_hash as the fused path."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from crumble_spark import synth
+from crumble_spark.decode import decode_df
+from crumble_spark.encode import encode_df, with_split_id
+from crumble_spark.partitioning import encode_df_skewaware, salted_repartition
+
+
+def _tokens_row(doc_id, n, seed, source="web"):
+    rng = np.random.default_rng(seed)
+    toks = synth.gen_tokens(rng, "runs", n).tolist()
+    return (doc_id, toks, len(toks), source)
+
+
+def test_giant_rows_roundtrip(spark):
+    rows = [
+        _tokens_row("web-giant-1", 50_000, 1),
+        _tokens_row("web-giant-2", 30_000, 2),
+        _tokens_row("web-small-1", 500, 3),
+        ("web-empty", [], 0, "web"),
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    enc = encode_df_skewaware(df, block_size=1024, n_splits=8, giant_threshold=10_000)
+    dec = decode_df(enc, verify=True)  # verify raises if any hash is wrong
+    got = {r["doc_id"]: r["tokens"] for r in dec.collect()}
+    want = {r[0]: r[1] for r in rows}
+    assert got == want
+
+
+def test_giant_path_matches_fused_path_exactly(spark):
+    rows = [_tokens_row(f"web-doc-{i}", 20_000 + i, 100 + i) for i in range(4)]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    df = with_split_id(df, 8)
+    fused = encode_df(df, block_size=1024).select(
+        "doc_id", "row_hash", "bytes_out", F.size("blocks").alias("nb")
+    )
+    giant = encode_df_skewaware(
+        df, block_size=1024, n_splits=8, giant_threshold=1_000
+    ).select("doc_id", "row_hash", "bytes_out", F.size("blocks").alias("nb"))
+    a = {r["doc_id"]: (r["row_hash"], r["bytes_out"], r["nb"]) for r in fused.collect()}
+    b = {r["doc_id"]: (r["row_hash"], r["bytes_out"], r["nb"]) for r in giant.collect()}
+    assert a == b
+
+
+def test_salted_repartition_spreads_hot_source(spark):
+    # all rows share one source; salting must still spread them
+    rows = [(f"web-{i:05d}", [1, 2, 3], 3, "web") for i in range(400)]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    parts = salted_repartition(df, 8).rdd.glom().map(len).collect()
+    assert len(parts) == 8
+    assert max(parts) < 2 * (400 / 8)  # no partition hogs the hot source

@@ -1,0 +1,71 @@
+"""Hash/tokenize primitives shared by pipeline operators — each has an
+exactly-equivalent SQL spelling (the *_SQL constants) used inside oracle
+queries, so Spark results and DuckDB oracles agree bit-for-bit.
+
+Determinism contract: all hashing goes through md5 (identical hex in both
+engines); all float math is done in double precision with explicit
+left-to-right fold order; integer arithmetic only elsewhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+VOCAB = 32_768
+HASH_HEX = 6  # 24-bit word hashes
+FP_MOD = 2_147_483_647
+FP_MUL = 1_000_003
+
+
+def words(c: Column) -> Column:
+    return F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+
+
+WORDS_SQL = "list_filter(string_split({c}, ' '), w -> w <> '')"
+
+
+def word_hash(w: Column) -> Column:
+    """24-bit integer hash of a word via md5 prefix."""
+    return F.conv(F.substring(F.md5(w), 1, HASH_HEX), 16, 10).cast("long")
+
+
+WORD_HASH_SQL = "CAST(('0x' || substr(md5({w}), 1, 6)) AS BIGINT)"
+
+
+def token_of(w: Column) -> Column:
+    return (word_hash(w) % VOCAB).cast("int")
+
+
+TOKEN_SQL = f"CAST({WORD_HASH_SQL} % {VOCAB} AS INTEGER)"
+
+
+def tokens_col(text: Column) -> Column:
+    return F.transform(words(text), token_of)
+
+
+TOKENS_SQL = (
+    "list_transform(" + WORDS_SQL.format(c="{c}") + ", w -> " + TOKEN_SQL.format(w="w") + ")"
+)
+
+
+def grams3(ws: Column) -> Column:
+    """Distinct word 3-grams (shingles). Empty for docs under 3 words.
+    (Spark's sequence(1,0) counts *down*, unlike generate_series — guard.)"""
+    return F.when(F.size(ws) < 3, F.array().cast("array<string>")).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
+                ),
+            )
+        )
+    )
+
+
+GRAMS3_SQL = (
+    "list_distinct(list_transform("
+    "generate_series(1, len({ws}) - 2), "
+    "i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
+)

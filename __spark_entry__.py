@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)      — flagship: full encode→decode round trip + compression
+                    summary on sf0.001.
+queries()         — every implemented operator (engine + training-data
+                    pipeline), each (spark, sf_dir) -> DataFrame.
+oracle_sql()      — DuckDB-equivalent SQL for each oracle-checkable query;
+                    engine-internal metrics (codec histograms, compressed
+                    byte counts) are rows-only checked by design.
 """
 
 from __future__ import annotations
@@ -13,26 +15,29 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from crumble_spark import multimodal
+from crumble_spark.pipeline import dedup, simsearch, textqc, tokenize
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: encode the documents-derived token table, decode with
+    verification, and report per-source compression. Rows > 0, stable
+    schema; any round-trip corruption raises inside the job."""
+    return tokenize.q_compression_by_source(spark, "/root/testdata/sf0.001")
+
+
+_MODULES = (tokenize, dedup, textqc, simsearch, multimodal)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for m in _MODULES:
+        out.update(m.QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for m in _MODULES:
+        out.update(m.ORACLES)
+    return out

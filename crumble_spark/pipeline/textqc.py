@@ -1,0 +1,175 @@
+"""Text analysis: language-ID heuristic, quality scoring, token counting,
+document fingerprinting.  All pure Catalyst expressions (no Python UDFs);
+float-derived outputs are floor-scaled to integers (e6) so engines with
+different ROUND modes still compare bit-equal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import shared
+from .tokenize import documents
+
+# most-frequent corpus words act as the "stopword" profile; real language
+# profiles plug in the same way (one list per language)
+STOP_EN = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "data")
+MARKER_QUERY = ("join", "hash", "scan", "filter", "merge", "query", "index")
+
+
+def _stop_ratio(ws, stoplist):
+    hits = F.size(F.filter(ws, lambda w: w.isin(*stoplist)))
+    return hits / F.greatest(F.size(ws), F.lit(1))
+
+
+def _stop_ratio_sql(ws_sql: str, stoplist) -> str:
+    lst = ", ".join(f"'{w}'" for w in stoplist)
+    return (
+        f"len(list_filter({ws_sql}, w -> w IN ({lst}))) * 1.0 / greatest(len({ws_sql}), 1)"
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/mean-word-length quality features + composite score.
+
+    score = 0.4*min(1, n_words/80) + 0.4*stop_ratio*4 (capped at 0.4)
+          + 0.2*(mean_word_len between 3 and 8)
+    """
+    d = documents(spark, sf_dir)
+    ws = shared.words(F.col("text"))
+    n_words = F.size(ws)
+    letters = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    mean_wl = letters / F.greatest(n_words, F.lit(1))
+    stop = _stop_ratio(ws, STOP_EN)
+    score = (
+        F.least(F.lit(1.0), n_words / F.lit(80.0)) * 0.4
+        + F.least(stop * 4, F.lit(1.0)) * 0.4
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
+    )
+    return d.select(
+        "doc_id",
+        n_words.cast("int").alias("n_words"),
+        F.floor(mean_wl * 1_000_000).cast("long").alias("mean_wl_e6"),
+        F.floor(stop * 1_000_000).cast("long").alias("stop_ratio_e6"),
+        F.floor(score * 1_000_000).cast("long").alias("quality_e6"),
+    )
+
+
+def _q_text_quality_sql() -> str:
+    ws = shared.WORDS_SQL.format(c="text")
+    stop = _stop_ratio_sql("ws", STOP_EN)
+    return (
+        f"WITH w AS (SELECT doc_id, text, {ws} AS ws FROM documents), "
+        "f AS (SELECT doc_id, len(ws) AS n_words, "
+        "length(replace(text, ' ', '')) * 1.0 / greatest(len(ws), 1) AS mean_wl, "
+        f"{stop} AS stop FROM w) "
+        "SELECT doc_id, CAST(n_words AS INTEGER) AS n_words, "
+        "CAST(floor(mean_wl * 1000000) AS BIGINT) AS mean_wl_e6, "
+        "CAST(floor(stop * 1000000) AS BIGINT) AS stop_ratio_e6, "
+        "CAST(floor(("
+        "least(1.0, n_words / 80.0) * 0.4 + least(stop * 4, 1.0) * 0.4 "
+        "+ (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 8.0 THEN 0.2 ELSE 0.0 END)"
+        ") * 1000000) AS BIGINT) AS quality_e6 FROM f"
+    )
+
+
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language/domain ID with deterministic argmax tie-break.
+    (On this synthetic corpus the 'languages' are vocabulary profiles; the
+    operator shape — per-profile hit ratio → argmax — is the real thing.)"""
+    d = documents(spark, sf_dir)
+    ws = shared.words(F.col("text"))
+    en = _stop_ratio(ws, STOP_EN)
+    qy = _stop_ratio(ws, MARKER_QUERY)
+    pred = (
+        F.when((en >= qy) & (en >= 0.05), F.lit("en"))
+        .when(qy > en, F.lit("qry"))
+        .otherwise(F.lit("unk"))
+    )
+    return d.select(
+        "doc_id",
+        F.floor(en * 1_000_000).cast("long").alias("en_score_e6"),
+        F.floor(qy * 1_000_000).cast("long").alias("qry_score_e6"),
+        pred.alias("lang_pred"),
+    )
+
+
+def _q_langid_sql() -> str:
+    ws = shared.WORDS_SQL.format(c="text")
+    en = _stop_ratio_sql("ws", STOP_EN)
+    qy = _stop_ratio_sql("ws", MARKER_QUERY)
+    return (
+        f"WITH w AS (SELECT doc_id, {ws} AS ws FROM documents), "
+        f"s AS (SELECT doc_id, {en} AS en, {qy} AS qy FROM w) "
+        "SELECT doc_id, CAST(floor(en * 1000000) AS BIGINT) AS en_score_e6, "
+        "CAST(floor(qy * 1000000) AS BIGINT) AS qry_score_e6, "
+        "CASE WHEN en >= qy AND en >= 0.05 THEN 'en' "
+        "WHEN qy > en THEN 'qry' ELSE 'unk' END AS lang_pred FROM s"
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token count + BPE-ish subword estimate (ceil(len/4) per
+    word — a fixed-fanout stand-in for a merge-table tokenizer)."""
+    d = documents(spark, sf_dir)
+    ws = shared.words(F.col("text"))
+    bpe = F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.floor((F.length(w) + 3) / F.lit(4.0)).cast("long"),
+    )
+    return d.select(
+        "doc_id",
+        F.size(ws).cast("int").alias("n_ws_tokens"),
+        bpe.alias("n_bpe_tokens"),
+    )
+
+
+def _q_token_count_sql() -> str:
+    ws = shared.WORDS_SQL.format(c="text")
+    return (
+        f"WITH w AS (SELECT doc_id, {ws} AS ws FROM documents) "
+        "SELECT doc_id, CAST(len(ws) AS INTEGER) AS n_ws_tokens, "
+        "CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(ws, w -> CAST(floor((length(w) + 3) / 4.0) AS BIGINT))), "
+        "(a, b) -> a + b) AS BIGINT) AS n_bpe_tokens FROM w"
+    )
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling polynomial hash over the token stream (order-sensitive doc
+    fingerprint; crumble's whole-record checksum discipline analogue)."""
+    d = documents(spark, sf_dir)
+    toks = shared.tokens_col(F.col("text"))
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * shared.FP_MUL + t) % shared.FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
+
+
+def _q_fingerprint_sql() -> str:
+    toks = shared.TOKENS_SQL.format(c="text")
+    return (
+        f"WITH t AS (SELECT doc_id, {toks} AS toks FROM documents) "
+        "SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(toks, x -> CAST(x AS BIGINT))), "
+        f"(a, b) -> (a * {shared.FP_MUL} + b) % {shared.FP_MOD}) AS fingerprint FROM t"
+    )
+
+
+QUERIES = {
+    "text_quality": q_text_quality,
+    "text_langid": q_langid,
+    "text_token_count": q_token_count,
+    "text_fingerprint": q_fingerprint,
+}
+
+ORACLES = {
+    "text_quality": _q_text_quality_sql(),
+    "text_langid": _q_langid_sql(),
+    "text_token_count": _q_token_count_sql(),
+    "text_fingerprint": _q_fingerprint_sql(),
+}

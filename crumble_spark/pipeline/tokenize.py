@@ -133,8 +133,47 @@ def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_roundtrip_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second engine round trip on a differently-shaped token table:
+    per-order part-key streams from lineitem (short arrays, wide values)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    t = (
+        li.groupBy(F.col("l_orderkey").cast("string").alias("doc_id"))
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("l_linenumber").alias("ln"),
+                            (F.col("l_partkey") % 4096).cast("int").alias("tk"),
+                        )
+                    )
+                ),
+                lambda s: s["tk"],
+            ).alias("tokens")
+        )
+        .select(
+            "doc_id", "tokens", F.size("tokens").alias("n_tok"), F.lit("lineitem").alias("source")
+        )
+    )
+    dec = decode_df(encode_df(t, block_size=BLOCK), verify=True)
+    return dec.select("doc_id", F.posexplode("tokens").alias("pos", "token")).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"), "token"
+    )
+
+
+Q_ROUNDTRIP_LINEITEM_SQL = (
+    "WITH t AS (SELECT CAST(l_orderkey AS VARCHAR) AS doc_id, "
+    "list(CAST(l_partkey % 4096 AS INTEGER) ORDER BY l_linenumber, l_partkey % 4096) AS tokens "
+    "FROM lineitem GROUP BY 1), "
+    "idx AS (SELECT doc_id, tokens, unnest(generate_series(1, len(tokens))) AS i FROM t) "
+    "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tokens[i] AS token FROM idx"
+)
+
+
 QUERIES = {
     "engine_roundtrip_docs": q_roundtrip_docs,
+    "engine_roundtrip_lineitem": q_roundtrip_lineitem,
     "engine_block_stats": q_block_stats,
     "engine_compression_by_source": q_compression_by_source,
     "engine_codec_histogram": q_codec_histogram,
@@ -142,6 +181,7 @@ QUERIES = {
 
 ORACLES = {
     "engine_roundtrip_docs": Q_ROUNDTRIP_DOCS_SQL,
+    "engine_roundtrip_lineitem": Q_ROUNDTRIP_LINEITEM_SQL,
     "engine_block_stats": Q_BLOCK_STATS_SQL,
     # compression/codec histogram are engine-internal: rows-only checks
 }

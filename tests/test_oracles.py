@@ -1,0 +1,57 @@
+"""Mirror of the driver's correctness gate: run each queries() entry on
+Spark and its oracle_sql() on DuckDB over the same parquet, compare
+row-count + sorted values.  Runs at sf0.001 for speed (driver uses 0.01).
+"""
+
+import duckdb
+import pandas as pd
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="module")
+def ddb():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+    return con
+
+
+def _pairs():
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    os_ = entry.oracle_sql()
+    return [(name, qs[name], os_[name]) for name in qs if name in os_]
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), kind="stable").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name,qfn,sql", _pairs(), ids=[p[0] for p in _pairs()])
+def test_query_matches_oracle(spark, ddb, name, qfn, sql):
+    got = _norm(qfn(spark, SF_DIR).toPandas())
+    want = _norm(ddb.sql(sql).df())
+    assert len(got) == len(want), f"{name}: rows {len(got)} != oracle {len(want)}"
+    assert list(got.columns) == list(want.columns), f"{name}: column mismatch"
+    want = want.astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_every_query_has_rows_or_documented_empty(spark):
+    import __spark_entry__ as entry
+
+    for name, fn in entry.queries().items():
+        n = fn(spark, SF_DIR).count()
+        # dedup_exact is legitimately empty (no full-text dups in testdata)
+        if name not in ("dedup_exact",):
+            assert n > 0, f"{name} returned no rows"

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "encode throughput (tokens/sec)", "value": N,
+   "unit": "tokens/sec", "queries": {name: sec, ...}, "sf": S, ...extras}
+
+Workload: the codec engine (encode to parquet sink, decode+verify) on a
+deterministic synthetic token table (FIXTURES.md regimes incl. the skewed
+long-doc tail), plus representative pipeline queries (minhash dedup, ANN
+top-k, fingerprinting) on the driver-provided sf tables.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS   (default 32).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crumble_spark import synth  # noqa: E402
+from crumble_spark.decode import decode_df  # noqa: E402
+from crumble_spark.partitioning import encode_df_skewaware  # noqa: E402
+from crumble_spark.pipeline import dedup, simsearch, textqc  # noqa: E402
+from crumble_spark.session import get_spark  # noqa: E402
+
+CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+ROWS_PER_SF = 160_000  # sf0.1 → 16k docs ≈ 20M tokens with the skew tail
+
+
+def sf_of(sf_dir: str) -> float:
+    try:
+        return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
+    except Exception:
+        return 0.1
+
+
+def tokens_parquet(spark, sf: float) -> str:
+    n_rows = max(200, int(ROWS_PER_SF * sf))
+    path = f"{CACHE}/bench_tokens_{n_rows}"
+    if not os.path.exists(path):
+        synth.synth_table(spark, n_rows, seed=42, mean_len=1024).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_of(sf_dir)
+    spark = get_spark(app="crumble-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tok_path = tokens_parquet(spark, sf)
+    tok = spark.read.parquet(tok_path)
+    n_tokens = tok.agg(F.sum(F.col("n_tok").cast("long"))).collect()[0][0]
+
+    # warm the executor python workers (JVM/worker spin-up is not part of
+    # steady-state throughput; a real cluster amortizes it across hours)
+    import pandas as pd
+
+    def _noop(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    tok.mapInPandas(_noop, schema="n long").collect()
+
+    queries: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # q1: encode (the headline) — full job incl. parquet sink
+    out = f"{CACHE}/bench_encoded"
+    shutil.rmtree(out, ignore_errors=True)
+    t0 = time.perf_counter()
+    enc = encode_df_skewaware(tok, block_size=1024, n_splits=64)
+    enc.write.mode("overwrite").parquet(out)
+    queries["q1_encode"] = time.perf_counter() - t0
+
+    sizes = (
+        spark.read.parquet(out)
+        .agg(F.sum("bytes_in").alias("bi"), F.sum("bytes_out").alias("bo"))
+        .collect()[0]
+    )
+    extras["compression_ratio"] = round(sizes["bi"] / max(sizes["bo"], 1), 3)
+
+    # q2: decode + per-row hash verification
+    t0 = time.perf_counter()
+    n_dec = decode_df(spark.read.parquet(out), verify=True).count()
+    queries["q2_decode_verify"] = time.perf_counter() - t0
+    assert n_dec == tok.count()
+
+    # pipeline representatives on the provided sf tables
+    for name, fn in (
+        ("q3_dedup_minhash", dedup.q_dedup_minhash),
+        ("q4_ann_brute_topk", simsearch.q_ann_brute_topk),
+        ("q5_text_fingerprint", textqc.q_fingerprint),
+    ):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        queries[name] = time.perf_counter() - t0
+
+    tput = n_tokens / queries["q1_encode"]
+    extras["decode_tokens_per_sec"] = round(n_tokens / queries["q2_decode_verify"])
+    extras["n_tokens"] = int(n_tokens)
+
+    print(
+        json.dumps(
+            {
+                "metric": "encode throughput (tokens/sec)",
+                "value": round(tput),
+                "unit": "tokens/sec",
+                "queries": {k: round(v, 3) for k, v in queries.items()},
+                "sf": sf,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

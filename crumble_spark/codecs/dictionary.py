@@ -60,9 +60,19 @@ def escape_size(k: int, n: int, n_esc: int) -> int:
     )
 
 
-def encode(arr: np.ndarray, k: int | None = None, use_escape: bool | None = None) -> bytes:
+def encode(
+    arr: np.ndarray,
+    k: int | None = None,
+    use_escape: bool | None = None,
+    values: np.ndarray | None = None,
+    counts: np.ndarray | None = None,
+) -> bytes:
     a = np.asarray(arr, dtype=np.int64)
-    values, inverse, counts = np.unique(a, return_inverse=True, return_counts=True)
+    if values is None or counts is None:
+        values, counts = np.unique(a, return_counts=True)
+    # values is sorted unique → inverse via binary search (cheaper than a
+    # second full sort when the caller already computed stats)
+    inverse = np.searchsorted(values, a)
     order = np.argsort(-counts, kind="stable")
     if k is None or use_escape is None:
         k, use_escape, _ = plan(counts[order], len(a))

@@ -76,9 +76,15 @@ def encode(arr: np.ndarray, rounds: int = ROUNDS) -> bytes:
     literals, stream = np.unique(a, return_inverse=True)
     stream = stream.astype(np.int64)
     nsym = len(literals)
-    out = [_U8.pack(rounds), _U16.pack(nsym), literals.astype("<i4").tobytes()]
+    tables = []
     for _ in range(rounds):
+        before = len(stream)
         stream, pairs, nsym = _replace_pairs(stream, nsym)
+        tables.append(pairs)
+        if len(stream) > 0.95 * before:  # diminishing returns — stop early
+            break
+    out = [_U8.pack(len(tables)), _U16.pack(len(literals)), literals.astype("<i4").tobytes()]
+    for pairs in tables:
         out.append(_U16.pack(len(pairs)))
         out.append(pairs.astype("<u4").tobytes())
     width = bitpack.width_for(nsym - 1) if nsym > 1 else 0

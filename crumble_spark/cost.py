@@ -50,7 +50,10 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
     best_id = min(sizes, key=lambda c: (sizes[c], c))
     best_size = sizes[best_id]
 
-    payload = codecs.encode(best_id, a)
+    if best_id == codecs.DICT:
+        payload = dictionary.encode(a, values=st.values, counts=st.counts)
+    else:
+        payload = codecs.encode(best_id, a)
     assert len(payload) == best_size, (best_id, len(payload), best_size)
 
     # FSST: only worth a trial when repeats exist that RLE/dict can't see

@@ -130,11 +130,26 @@ def encode_df_skewaware(
     block_size: int = DEFAULT_BLOCK_SIZE,
     n_splits: int = 256,
     giant_threshold: int = GIANT_ROW_TOKENS,
+    repartition: bool = False,
+    n_parts: int | None = None,
 ) -> DataFrame:
     """Route giant rows to the block-parallel path, everything else to the
-    fused single-pass path; union the (identical) encoded schemas."""
+    fused single-pass path; union the (identical) encoded schemas.
+
+    Parallelism strategy: encode is CPU-bound (~40 MB/s/core), so task
+    granularity comes from *input splits* (session.py caps
+    files.maxPartitionBytes at 32 MB) — shuffling raw token arrays just to
+    rebalance costs more than it saves.  `repartition=True` adds the
+    salted shuffle for pathological layouts (one hot unsplittable file,
+    severely clustered doc sizes); the giant-row path and AQE cover the
+    rest.
+    """
     df = with_split_id(df, n_splits)
     small = df.filter(F.col("n_tok") <= giant_threshold)
+    if repartition:
+        if n_parts is None:
+            n_parts = df.sparkSession.sparkContext.defaultParallelism * 4
+        small = salted_repartition(small, n_parts)
     big = df.filter(F.col("n_tok") > giant_threshold)
     enc_small = encode_df(small, block_size=block_size, n_splits=n_splits)
     enc_big = encode_giant_rows(big, block_size=block_size)

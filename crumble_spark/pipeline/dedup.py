@@ -83,49 +83,75 @@ Q_DEDUP_PREFIX_SQL = (
 # --- minhash LSH -------------------------------------------------------------
 
 def _doc_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = documents(spark, sf_dir)
-    return d.select(
-        "doc_id", shared.grams3(shared.words(F.col("text"))).alias("grams")
-    ).filter(F.size("grams") > 0)
+    # materialize the words array BEFORE gram construction: element_at
+    # inside a higher-order lambda re-evaluates its argument expression,
+    # so building grams directly over split(text) is O(words^2) per doc
+    d = documents(spark, sf_dir).select("doc_id", shared.words(F.col("text")).alias("ws"))
+    return d.select("doc_id", shared.grams3(F.col("ws")).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+
+
+MINHASH_P = 2_147_483_647  # 2^31-1: affine-permutation products stay < 2^62
+# deterministic affine permutation constants (a odd, within [1, P))
+MINHASH_AB = [((2 * j + 1) * 2_654_435_761 % MINHASH_P, (j * 40_503 + 17) % MINHASH_P) for j in range(N_PERM)]
 
 
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16 permutations approximated by seeded md5 re-hashing of shingles
-    (min over md5(seed|gram) hex strings — identical in any engine)."""
-    g = _doc_grams(spark, sf_dir)
-    sigs = [
-        F.array_min(
-            F.transform(F.col("grams"), lambda x, j=j: F.md5(F.concat_ws("|", F.lit(str(j)), x)))
-        ).alias(f"s{j}")
-        for j in range(N_PERM)
+    """Textbook minhash: one md5 per shingle → 48-bit int → N_PERM affine
+    permutations mod 2^31-1, min per permutation.
+
+    Plan shape (scale path): explode shingles → flat columnar hashing →
+    groupBy(doc_id) with N_PERM partial-aggregating mins.  One shuffle of
+    (doc_id, 16 longs); no per-row array lambdas, no repeated md5 passes.
+    """
+    g = _doc_grams(spark, sf_dir).select("doc_id", F.explode("grams").alias("gram"))
+    h = (F.conv(F.substring(F.md5("gram"), 1, 12), 16, 10).cast("long") % MINHASH_P).alias("h")
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"s{j}")
+        for j, (a, b) in enumerate(MINHASH_AB)
     ]
-    return g.select("doc_id", *sigs)
+    return g.select("doc_id", h).groupBy("doc_id").agg(*aggs)
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs: docs agreeing on any 4-row minhash band."""
+    """Candidate near-dup pairs: docs agreeing on any 4-row minhash band.
+
+    Pairing is bucket-local (groupBy band-key → in-bucket pair expansion),
+    the shape that survives 10^12 rows: no self-join of the signature
+    table, pair blowup bounded per bucket.
+    """
     sig = minhash_signatures(spark, sf_dir)
     rows_per_band = N_PERM // N_BANDS
     bands = F.array(
         *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
-                )
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
             )
             for b in range(N_BANDS)
         ]
     )
     banded = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
-    a, b = banded.alias("a"), banded.alias("b")
+    buckets = (
+        banded.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
+    )
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda x: F.transform(
+                    F.col("ds"), lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p["doc_a"] < p["doc_b"],
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
@@ -133,19 +159,21 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _minhash_cte() -> str:
     grams = shared.GRAMS3_SQL.format(ws=shared.WORDS_SQL.format(c="text"))
     sig_cols = ", ".join(
-        "list_aggregate(list_transform(grams, x -> md5('" + str(j) + "|' || x)), 'min') AS s"
-        + str(j)
-        for j in range(N_PERM)
+        f"min(({a} * h + {b}) % {MINHASH_P}) AS s{j}" for j, (a, b) in enumerate(MINHASH_AB)
     )
     band_rows = []
     rows_per_band = N_PERM // N_BANDS
     for b in range(N_BANDS):
-        cols = " || '|' || ".join(f"s{b * rows_per_band + r}" for r in range(rows_per_band))
-        band_rows.append(f"SELECT doc_id, {b} AS band, md5({cols}) AS key FROM sig")
+        cols = " || '|' || ".join(
+            f"CAST(s{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        band_rows.append(f"SELECT doc_id, {b} AS band, {cols} AS key FROM sig")
     return (
         f"WITH g AS (SELECT doc_id, {grams} AS grams FROM documents), "
-        "gg AS (SELECT * FROM g WHERE len(grams) > 0), "
-        f"sig AS (SELECT doc_id, {sig_cols} FROM gg), "
+        "e AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0), "
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) "
+        f"% {MINHASH_P} AS h FROM e), "
+        f"sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id), "
         "bands AS (" + " UNION ALL ".join(band_rows) + ")"
     )
 

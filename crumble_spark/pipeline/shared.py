@@ -51,17 +51,24 @@ TOKENS_SQL = (
 
 def grams3(ws: Column) -> Column:
     """Distinct word 3-grams (shingles). Empty for docs under 3 words.
-    (Spark's sequence(1,0) counts *down*, unlike generate_series — guard.)"""
-    return F.when(F.size(ws) < 3, F.array().cast("array<string>")).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - 2),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(ws, i), F.element_at(ws, i + 1), F.element_at(ws, i + 2)
-                ),
-            )
-        )
+
+    Built with zip_with over shifted slices, NOT element_at inside a
+    transform lambda: lambda-captured expressions are re-evaluated per
+    element (and CollapseProject re-inlines projected columns), turning
+    the naive spelling into O(words^2) per document.  zip_with keeps it
+    O(words): each slice is evaluated once per row.  zip_with pads the
+    shorter side with nulls; the trailing <3-word grams become null and
+    are filtered.
+    """
+    pair = F.zip_with(
+        ws, F.slice(ws, 2, F.size(ws)), lambda x, y: F.concat_ws(" ", x, y)
     )
+    tri = F.zip_with(
+        pair,
+        F.slice(ws, 3, F.size(ws)),
+        lambda xy, z: F.when(z.isNotNull(), F.concat(xy, F.lit(" "), z)),
+    )
+    return F.array_distinct(F.filter(tri, lambda g: g.isNotNull()))
 
 
 GRAMS3_SQL = (

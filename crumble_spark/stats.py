@@ -29,6 +29,8 @@ class BlockStats:
     vmin: int
     vmax: int
     card: int
+    values: np.ndarray  # sorted distinct values
+    counts: np.ndarray  # counts aligned with values
     counts_desc: np.ndarray  # distinct-value counts, descending
     n_runs: int
     run_vrange: int
@@ -45,17 +47,26 @@ def compute(a: np.ndarray) -> BlockStats:
     n = len(a)
     vmin = int(a.min())
     vmax = int(a.max())
-    _, counts = np.unique(a, return_counts=True)
-    counts_desc = np.sort(counts)[::-1]
+    # run structure first: distinct values of the full block == distinct
+    # values at run starts, and per-value counts are run-length sums —
+    # uniquing the (usually much shorter) run-value array is cheaper
     starts = np.concatenate(([0], np.flatnonzero(a[1:] != a[:-1]) + 1))
     rvals = a[starts]
     lengths = np.diff(np.concatenate((starts, [n])))
+    if len(rvals) * 2 < n:
+        values, inv = np.unique(rvals, return_inverse=True)
+        counts = np.bincount(inv, weights=lengths).astype(np.int64)
+    else:
+        values, counts = np.unique(a, return_counts=True)
+    counts_desc = np.sort(counts)[::-1]
     zz = bitpack.zigzag(np.diff(a)) if n > 1 else np.zeros(0, np.uint64)
     return BlockStats(
         n=n,
         vmin=vmin,
         vmax=vmax,
         card=len(counts),
+        values=values,
+        counts=counts,
         counts_desc=counts_desc,
         n_runs=len(starts),
         run_vrange=int(rvals.max() - rvals.min()),

@@ -14,6 +14,8 @@ Codec ids are part of the on-disk block format — never renumber.
 | 5  | delta_bp | delta + zigzag + bit-pack (position streams, snp_score.c:863)  |
 | 6  | fsst     | gram symbol table w/ escapes — STR finder periods 1-8          |
 |    |          |   (str_finder.c:135-189)                                       |
+| 7  | tile     | period pattern + exception list — the STR finder's repeat      |
+|    |          |   extents made into a codec (str_finder.c:135-189)             |
 
 Every codec is a pair of pure-numpy integer kernels:
     encode(arr: np.ndarray[int]) -> bytes
@@ -25,7 +27,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from . import constant, delta_bp, dictionary, for_bp, fsst, raw, rle
+from . import constant, delta_bp, dictionary, for_bp, fsst, raw, rle, tile
 
 RAW = 0
 CONSTANT = 1
@@ -34,6 +36,7 @@ DICT = 3
 FOR_BP = 4
 DELTA_BP = 5
 FSST = 6
+TILE = 7
 
 CODEC_NAMES = {
     RAW: "raw",
@@ -43,6 +46,7 @@ CODEC_NAMES = {
     FOR_BP: "for_bp",
     DELTA_BP: "delta_bp",
     FSST: "fsst",
+    TILE: "tile",
 }
 
 _ENCODERS = {
@@ -53,6 +57,7 @@ _ENCODERS = {
     FOR_BP: for_bp.encode,
     DELTA_BP: delta_bp.encode,
     FSST: fsst.encode,
+    TILE: tile.encode,
 }
 
 _DECODERS = {
@@ -63,6 +68,7 @@ _DECODERS = {
     FOR_BP: for_bp.decode,
     DELTA_BP: delta_bp.decode,
     FSST: fsst.decode,
+    TILE: tile.decode,
 }
 
 

@@ -12,7 +12,11 @@ dictionary codes — the escape path (snp_score.c:2362-2375 analogue).
 Layout (little-endian):
     u8 n_rounds | u16 L | L * i4 literal table
     per round: u16 m | m * (u32 a, u32 b)     # pair -> new symbol id
-    u32 stream_len | u8 width | pack(stream, width)
+    u32 stream_len | u8 width | u8 mode | body
+    mode 0: body = pack(stream, width)        # bit-packed symbol stream
+    mode 1: body = rle.encode(stream)         # run-length coded stream —
+      on tiled/periodic blocks the merged stream collapses to runs of one
+      gram symbol, which bit-packing alone can't exploit
 
 Decoding expands symbols transitively (each pair references earlier ids
 only), fully vectorized via a flattened expansion table + gather.
@@ -25,11 +29,12 @@ import struct
 import numpy as np
 
 from .. import bitpack
+from . import rle
 
 _U8 = struct.Struct("<B")
 _U16 = struct.Struct("<H")
 _U32 = struct.Struct("<I")
-_TAIL = struct.Struct("<IB")
+_TAIL = struct.Struct("<IBB")
 
 ROUNDS = 3
 MAX_PAIRS_PER_ROUND = 64
@@ -88,8 +93,14 @@ def encode(arr: np.ndarray, rounds: int = ROUNDS) -> bytes:
         out.append(_U16.pack(len(pairs)))
         out.append(pairs.astype("<u4").tobytes())
     width = bitpack.width_for(nsym - 1) if nsym > 1 else 0
-    out.append(_TAIL.pack(len(stream), width))
-    out.append(bitpack.pack(stream, width))
+    packed = bitpack.pack(stream, width)
+    body, mode = packed, 0
+    if len(stream):
+        rle_body = rle.encode(stream)
+        if len(rle_body) < len(packed):
+            body, mode = rle_body, 1
+    out.append(_TAIL.pack(len(stream), width, mode))
+    out.append(body)
     return b"".join(out)
 
 
@@ -108,9 +119,12 @@ def decode(buf: bytes, n: int) -> np.ndarray:
         off += 8 * m
         pair_a.append(p[:, 0].astype(np.int64))
         pair_b.append(p[:, 1].astype(np.int64))
-    stream_len, width = _TAIL.unpack_from(buf, off)
+    stream_len, width, mode = _TAIL.unpack_from(buf, off)
     off += _TAIL.size
-    stream = bitpack.unpack(buf[off:], stream_len, width).astype(np.int64)
+    if mode == 1:
+        stream = rle.decode(buf[off:], stream_len).astype(np.int64)
+    else:
+        stream = bitpack.unpack(buf[off:], stream_len, width).astype(np.int64)
 
     # transitive expansion table: symbol id -> flat slice of literal values
     a_all = np.concatenate(pair_a) if pair_a else np.zeros(0, np.int64)

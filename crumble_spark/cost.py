@@ -16,10 +16,10 @@ from __future__ import annotations
 import numpy as np
 
 from . import codecs, stats
-from .codecs import constant, dictionary, for_bp, raw, rle
+from .codecs import constant, dictionary, for_bp, raw, rle, tile
 from .codecs import delta_bp as delta
 
-# FSST trial gates
+# periodic-analysis gates (FSST gram trial + TILE period scan)
 FSST_MIN_N = 64
 FSST_MAX_CARD = 1024
 FSST_MIN_PERIODICITY = 0.35
@@ -56,13 +56,19 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
         payload = codecs.encode(best_id, a)
     assert len(payload) == best_size, (best_id, len(payload), best_size)
 
-    # FSST: only worth a trial when repeats exist that RLE/dict can't see
+    # periodic analysis: only when repeats might exist that RLE/dict can't
+    # see (cheap gates first — crumble's -Y work-skipping discipline)
     if (
         st.n >= FSST_MIN_N
         and 1 < st.card <= FSST_MAX_CARD
         and best_size * 8 > st.n
         and stats.periodicity(a) >= FSST_MIN_PERIODICITY
     ):
+        p, n_exc = tile.best_period(a)
+        if p and tile.size(st.n, p, n_exc) < best_size:
+            trial = tile.encode(a, p)
+            if len(trial) < best_size:
+                best_id, payload, best_size = codecs.TILE, trial, len(trial)
         trial = codecs.encode(codecs.FSST, a)
         if len(trial) < best_size:
             return codecs.FSST, trial

@@ -27,13 +27,20 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
-        # encode is CPU-bound at ~40 MB/s/core: small input splits keep
-        # every core busy WITHOUT shuffling raw token arrays
-        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
+        # rows carry KB-to-MB token arrays: batch sizes sized for ~4 MB
+        # typical batches so N concurrent tasks can't blow the heap even
+        # when the long-document tail clusters (reader default is 4096
+        # rows — 32 tasks x 4096 x giant arrays = OOM)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        # encode is CPU-bound at ~40 MB/s/core: small input splits (~2 s of
+        # CPU each) keep every core busy WITHOUT shuffling raw token
+        # arrays; a 32 MB default would cap a 350 MB input at ~12 tasks
+        .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

@@ -53,7 +53,9 @@ spark.stop()
 
 
 def ensure_input(n_rows: int) -> str:
-    path = f"{CACHE}/scaling_tokens_{n_rows}"
+    # 256 files: split granularity must exceed the largest core count
+    # under test, else the bigger "cluster" idles (task-count ceiling)
+    path = f"{CACHE}/scaling_tokens_{n_rows}_p256"
     if not os.path.exists(path):
         sys.path.insert(0, REPO)
         from crumble_spark import synth
@@ -61,7 +63,7 @@ def ensure_input(n_rows: int) -> str:
 
         spark = get_spark(app="scaling-gen")
         spark.sparkContext.setLogLevel("ERROR")
-        synth.synth_table(spark, n_rows, seed=42, mean_len=1024).write.mode(
+        synth.synth_table(spark, n_rows, seed=42, mean_len=1024, parts=256).write.mode(
             "overwrite"
         ).parquet(path)
         spark.stop()
@@ -73,8 +75,10 @@ def run_level(master: str, tok_path: str) -> dict:
         [sys.executable, "-c", WORKER, master, tok_path, f"{CACHE}/scaling_out", REPO],
         capture_output=True,
         text=True,
-        check=True,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise SystemExit(f"worker {master} failed")
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

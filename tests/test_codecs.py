@@ -56,7 +56,7 @@ def test_choose_picks_expected_codecs():
     assert cost.choose(CASES["runs"])[0] == codecs.RLE
     assert cost.choose(CASES["narrow_range"])[0] == codecs.FOR_BP
     assert cost.choose(CASES["monotone"])[0] == codecs.DELTA_BP
-    assert cost.choose(CASES["periodic"])[0] == codecs.FSST
+    assert cost.choose(CASES["periodic"])[0] in (codecs.FSST, codecs.TILE)
     assert cost.choose(CASES["high_entropy"])[0] in (codecs.RAW, codecs.FOR_BP)
 
 

@@ -72,13 +72,16 @@ def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.Da
 
 
 def with_split_id(df: DataFrame, n_splits: int) -> DataFrame:
-    """Deterministic split assignment (hash of doc_id) — stable across
-    runs/cluster sizes, which is what makes lineage-based resume sound.
+    """Deterministic split assignment (crc32 of doc_id) — stable across
+    runs/cluster sizes, which is what makes lineage-based resume sound,
+    and reproducible JVM-side (F.crc32) AND python-side (zlib.crc32) so
+    the pyarrow-direct source assigns identical splits.
     Idempotent: a df that already carries split_id passes through."""
     if "split_id" in df.columns:
         return df
     return df.withColumn(
-        "split_id", F.pmod(F.xxhash64("doc_id"), F.lit(n_splits)).cast("int")
+        "split_id",
+        F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(n_splits)).cast("int"),
     )
 
 

@@ -22,17 +22,28 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus) if str(cpus).isdigit() else 32
     shuffle = shuffle_partitions
+    # For DataFrame-path Arrow UDF stages over BULK data, a task is a JVM
+    # producer thread + a Python kernel process running concurrently —
+    # schedule those jobs with SPARK_GRAFT_TASK_CPUS=2 or task slots 2x
+    # oversubscribe the machine and the synchronous Arrow ping-pong
+    # becomes scheduling-latency-bound (measured 10x collapse at 64
+    # threads on 32 cores).  The default stays 1: the throughput encode
+    # path (sources/parquet_direct) does its I/O inside the Python worker
+    # and leaves the JVM thread idle, and JVM-only pipeline queries want
+    # full slot count.
+    task_cpus = os.environ.get("SPARK_GRAFT_TASK_CPUS", "1")
     b = (
         SparkSession.builder.appName(app)
         .master(master)
+        .config("spark.task.cpus", task_cpus)
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # rows carry KB-to-MB token arrays: batch sizes sized for ~4 MB
         # typical batches so N concurrent tasks can't blow the heap even
         # when the long-document tail clusters (reader default is 4096
         # rows — 32 tasks x 4096 x giant arrays = OOM)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
-        .config("spark.sql.parquet.columnarReaderBatchSize", "512")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         # encode is CPU-bound at ~40 MB/s/core: small input splits (~2 s of
         # CPU each) keep every core busy WITHOUT shuffling raw token
         # arrays; a 32 MB default would cap a 350 MB input at ~12 tasks

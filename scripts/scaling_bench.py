@@ -29,7 +29,7 @@ sys.path.insert(0, sys.argv[4])
 import pandas as pd
 from pyspark.sql import functions as F
 from crumble_spark.session import get_spark
-from crumble_spark.partitioning import encode_df_skewaware
+from crumble_spark.sources import parquet_direct as direct
 
 master, tok_path, out = sys.argv[1], sys.argv[2], sys.argv[3]
 spark = get_spark(app=f"scaling-{master}", master=master)
@@ -41,11 +41,11 @@ def noop(batches):
     for p in batches:
         yield pd.DataFrame({"n": [len(p)]})
 
-tok.mapInPandas(noop, schema="n long").collect()  # warm python workers
+tok.limit(2000).mapInPandas(noop, schema="n long").collect()  # warm python workers
 
 shutil.rmtree(out, ignore_errors=True)
 t0 = time.perf_counter()
-encode_df_skewaware(tok, block_size=1024, n_splits=64).write.mode("overwrite").parquet(out)
+direct.encode_job_direct(spark, tok_path, out, block_size=1024, n_splits=64, resume=False)
 dt = time.perf_counter() - t0
 print(json.dumps({"sec": dt, "tokens": int(n_tokens)}))
 spark.stop()

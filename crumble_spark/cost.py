@@ -57,19 +57,27 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
     assert len(payload) == best_size, (best_id, len(payload), best_size)
 
     # periodic analysis: only when repeats might exist that RLE/dict can't
-    # see (cheap gates first — crumble's -Y work-skipping discipline)
-    if (
-        st.n >= FSST_MIN_N
-        and 1 < st.card <= FSST_MAX_CARD
-        and best_size * 8 > st.n
-        and stats.periodicity(a) >= FSST_MIN_PERIODICITY
-    ):
-        p, n_exc = tile.best_period(a)
-        if p and tile.size(st.n, p, n_exc) < best_size:
-            trial = tile.encode(a, p)
+    # see (cheap gates first — crumble's -Y work-skipping discipline).
+    # The lag-match fraction must beat what i.i.d. low-card noise shows by
+    # chance, else every 2-symbol block wastes a trial encode.
+    if st.n >= FSST_MIN_N and 1 < st.card <= FSST_MAX_CARD and best_size * 8 > st.n:
+        lag, frac = stats.periodicity_scan(a, max_lag=tile.MAX_PERIOD)
+        chance = stats.chance_match_rate(st.counts, st.n)
+        if frac >= max(FSST_MIN_PERIODICITY, 1.5 * chance):
+            # the scan's best lag is often a multiple of the true period —
+            # a mutation inside the tile pattern replicates everywhere, so
+            # try every divisor and keep the exact cheapest
+            best_p, best_tile_sz = 0, best_size
+            for p in (d for d in range(1, lag + 1) if lag % d == 0):
+                n_exc = int(np.count_nonzero(a != np.tile(a[:p], st.n // p + 1)[: st.n]))
+                sz = tile.size(st.n, p, n_exc)
+                if sz < best_tile_sz:
+                    best_p, best_tile_sz = p, sz
+            if best_p:
+                trial = tile.encode(a, best_p)
+                if len(trial) < best_size:
+                    best_id, payload, best_size = codecs.TILE, trial, len(trial)
+            trial = codecs.encode(codecs.FSST, a)
             if len(trial) < best_size:
-                best_id, payload, best_size = codecs.TILE, trial, len(trial)
-        trial = codecs.encode(codecs.FSST, a)
-        if len(trial) < best_size:
-            return codecs.FSST, trial
+                return codecs.FSST, trial
     return best_id, payload

@@ -76,16 +76,29 @@ def compute(a: np.ndarray) -> BlockStats:
 
 
 def periodicity(a: np.ndarray, max_lag: int = MAX_LAG) -> float:
-    """Max fraction of positions equal to the position `lag` back, over
-    lags 2..max_lag (lag 1 is run structure, already owned by RLE).
+    """Max lag-match fraction (see periodicity_scan)."""
+    return periodicity_scan(a, max_lag)[1]
+
+
+def periodicity_scan(a: np.ndarray, max_lag: int = MAX_LAG) -> tuple[int, float]:
+    """(best_lag, fraction of positions equal to the position `lag` back),
+    over lags 2..max_lag (lag 1 is run structure, already owned by RLE).
 
     Vectorized np.equal lag comparison — the numeric STR finder
     (str_finder.c:135-189 does the same via a rolling 2-bit word).
     """
     n = len(a)
-    best = 0.0
+    best_lag, best = 0, 0.0
     for lag in range(2, min(max_lag, n - 1) + 1):
         frac = float(np.count_nonzero(a[lag:] == a[:-lag])) / (n - lag)
         if frac > best:
-            best = frac
-    return best
+            best_lag, best = lag, frac
+    return best_lag, best
+
+
+def chance_match_rate(counts: np.ndarray, n: int) -> float:
+    """Probability two random positions hold equal values (sum p_i^2) —
+    the lag-match fraction an i.i.d. block produces by chance alone.
+    Low-cardinality noise looks 'periodic' without this correction."""
+    p = counts / n
+    return float(np.dot(p, p))

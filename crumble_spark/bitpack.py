@@ -37,7 +37,11 @@ def pack(values: np.ndarray, width: int) -> bytes:
     v = np.ascontiguousarray(values, dtype=f"<u{nbytes}")
     if v.size == 0:
         return b""
-    bits = np.unpackbits(v.view(np.uint8).reshape(-1, nbytes), axis=1, bitorder="little")
+    # touch only ceil(width/8) bytes per value — memory traffic is the
+    # scaling bottleneck when many cores encode concurrently
+    nb = (width + 7) // 8
+    lo = v.view(np.uint8).reshape(-1, nbytes)[:, :nb]
+    bits = np.unpackbits(lo, axis=1, bitorder="little")
     return np.packbits(bits[:, :width].ravel(), bitorder="little").tobytes()
 
 
@@ -50,9 +54,13 @@ def unpack(buf: bytes, n: int, width: int) -> np.ndarray:
         return np.zeros(0, dtype=f"<u{nbytes}")
     raw = np.frombuffer(buf, dtype=np.uint8)
     bits = np.unpackbits(raw, bitorder="little")[: n * width].reshape(n, width)
-    full = np.zeros((n, nbytes * 8), dtype=np.uint8)
-    full[:, :width] = bits
-    return np.packbits(full.ravel(), bitorder="little").view(f"<u{nbytes}").copy()
+    nb = (width + 7) // 8
+    pad = np.zeros((n, nb * 8), dtype=np.uint8)
+    pad[:, :width] = bits
+    packed = np.packbits(pad.ravel(), bitorder="little").reshape(n, nb)
+    out = np.zeros(n, dtype=f"<u{nbytes}")
+    out.view(np.uint8).reshape(n, nbytes)[:, :nb] = packed
+    return out
 
 
 def zigzag(deltas: np.ndarray) -> np.ndarray:

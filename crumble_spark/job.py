@@ -32,6 +32,19 @@ class EncodeConfig:
     giant_threshold: int = 262_144
 
 
+# preset bundles, the analogue of crumble's -1..-9 macro levels
+# (snp_score.c:2380-2482): smaller blocks react faster to regime changes
+# (better ratio on mixed data), bigger blocks amortize headers (faster,
+# better on uniform data); split counts scale with intended input size.
+PRESETS = {
+    1: EncodeConfig(block_size=256, n_splits=64),       # small/latency
+    3: EncodeConfig(block_size=512, n_splits=128),
+    5: EncodeConfig(block_size=1024, n_splits=256),     # default
+    7: EncodeConfig(block_size=2048, n_splits=1024),
+    9: EncodeConfig(block_size=4096, n_splits=4096),    # 100 TB bulk
+}
+
+
 def run_encode_job(
     spark: SparkSession,
     df: DataFrame,
@@ -86,15 +99,34 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
-    ap.add_argument("--block-size", type=int, default=DEFAULT_BLOCK_SIZE)
-    ap.add_argument("--n-splits", type=int, default=256)
+    ap.add_argument("--block-size", type=int, default=None)
+    ap.add_argument("--n-splits", type=int, default=None)
+    ap.add_argument("--preset", type=int, default=5, choices=sorted(PRESETS))
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument(
+        "--direct",
+        action="store_true",
+        help="pyarrow-direct throughput path (sources/parquet_direct)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app="crumble-spark-encode")
-    df = spark.read.parquet(args.input)
-    cfg = EncodeConfig(block_size=args.block_size, n_splits=args.n_splits)
-    print(run_encode_job(spark, df, args.output, cfg=cfg, resume=not args.no_resume))
+    cfg = PRESETS[args.preset]
+    if args.block_size:
+        cfg.block_size = args.block_size
+    if args.n_splits:
+        cfg.n_splits = args.n_splits
+    if args.direct:
+        from .sources.parquet_direct import encode_job_direct
+
+        lin = encode_job_direct(
+            spark, args.input, args.output, block_size=cfg.block_size,
+            n_splits=cfg.n_splits, resume=not args.no_resume,
+        )
+        print(lin.groupBy("status").count().collect())
+    else:
+        df = spark.read.parquet(args.input)
+        print(run_encode_job(spark, df, args.output, cfg=cfg, resume=not args.no_resume))
 
 
 if __name__ == "__main__":

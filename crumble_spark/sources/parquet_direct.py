@@ -80,15 +80,31 @@ def _split_name(path: str, rg: int) -> str:
     return f"{os.path.basename(path)}:rg{rg}"
 
 
+def _pin_arrow_single_thread() -> None:
+    """Each Spark python worker must run pyarrow single-threaded: N workers
+    each spawning a cpu_count-wide Arrow pool = N*cores threads, and the
+    resulting context-switch storm caps total throughput regardless of
+    core count (measured: 32-core run barely beat the 8-core run until
+    this was pinned). Parallelism belongs to the task scheduler, not to
+    per-task thread pools."""
+    if pa.cpu_count() != 1:
+        pa.set_cpu_count(1)
+    if pa.io_thread_count() != 1:
+        pa.set_io_thread_count(1)
+
+
 def _encode_split(
     path: str, rg: int, out_dir: str, block_size: int, n_splits: int
 ) -> tuple:
+    _pin_arrow_single_thread()
     pf = pq.ParquetFile(path)
     cols = ["doc_id", "tokens", "n_tok", "source"]
     n_rows = n_tokens = bytes_in = bytes_out = checksum = 0
     hist: dict[int, int] = {}
     out_batches = []
-    for batch in pf.iter_batches(batch_size=1024, row_groups=[rg], columns=cols):
+    for batch in pf.iter_batches(
+        batch_size=1024, row_groups=[rg], columns=cols, use_threads=False
+    ):
         doc_ids = batch.column("doc_id").to_pylist()
         sources = batch.column("source").to_pylist()
         toks = batch.column("tokens")
@@ -198,10 +214,14 @@ def decode_verify_direct(spark: SparkSession, enc_dir: str) -> dict:
         for pdf in batches:
             rows = []
             for path, rg in zip(pdf["path"], pdf["rg"]):
+                _pin_arrow_single_thread()
                 pf = pq.ParquetFile(path)
                 n_rows = n_tokens = 0
                 for batch in pf.iter_batches(
-                    batch_size=1024, row_groups=[int(rg)], columns=["blocks", "row_hash"]
+                    batch_size=1024,
+                    row_groups=[int(rg)],
+                    columns=["blocks", "row_hash"],
+                    use_threads=False,
                 ):
                     hashes = batch.column("row_hash").to_numpy()
                     blocks_col = batch.column("blocks")

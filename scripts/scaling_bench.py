@@ -84,13 +84,20 @@ def run_level(master: str, tok_path: str) -> dict:
 
 def main() -> None:
     n = int(os.environ.get("SCALING_N", "8"))
-    rows = int(os.environ.get("SCALING_ROWS", "120000"))
+    rows = int(os.environ.get("SCALING_ROWS", "480000"))
+    reps = int(os.environ.get("SCALING_REPS", "2"))
     tok_path = ensure_input(rows)
+    # the sandbox host carries bursty external load (co-tenants): alternate
+    # levels A/B/B/A and keep the best run per level, so a noise burst
+    # cannot land on one level only
+    order = ([n, 4 * n, 4 * n, n] * reps)[: 2 * reps]
     results = {}
-    for level in (n, 4 * n):
+    for level in order:
         r = run_level(f"local[{level}]", tok_path)
         r["tokens_per_sec"] = round(r["tokens"] / r["sec"])
-        results[level] = r
+        prev = results.get(level)
+        if prev is None or r["sec"] < prev["sec"]:
+            results[level] = r
         print(f"local[{level}]: {r['sec']:.2f}s  {r['tokens_per_sec']:,} tok/s", file=sys.stderr)
     eff = results[4 * n]["tokens_per_sec"] / results[n]["tokens_per_sec"] / 4
     print(

@@ -24,13 +24,29 @@ _HDR = struct.Struct("<HIB")
 MAX_PERIOD = 16
 
 
+def majority_pattern(a: np.ndarray, p: int) -> np.ndarray:
+    """Per-phase majority vote: a mutation inside the first period must
+    not poison every repetition (crumble's consensus call per column,
+    snp_score.c:533-797, is exactly this shape)."""
+    pat = np.empty(p, dtype=np.int64)
+    for i in range(p):
+        vals, counts = np.unique(a[i::p], return_counts=True)
+        pat[i] = vals[np.argmax(counts)]
+    return pat
+
+
+def exceptions_for(a: np.ndarray, pat: np.ndarray) -> int:
+    n = len(a)
+    tiled = np.tile(pat, n // len(pat) + 1)[:n]
+    return int(np.count_nonzero(a != tiled))
+
+
 def best_period(a: np.ndarray, max_period: int = MAX_PERIOD) -> tuple[int, int]:
     """(period, n_exceptions) minimizing encoded size; period 0 if useless."""
     n = len(a)
     best_p, best_exc, best_sz = 0, n, None
     for p in range(1, min(max_period, max(n // 2, 1)) + 1):
-        tiled = np.tile(a[:p], n // p + 1)[:n]
-        exc = int(np.count_nonzero(a != tiled))
+        exc = exceptions_for(a, majority_pattern(a, p))
         sz = size(n, p, exc)
         if best_sz is None or sz < best_sz:
             best_p, best_exc, best_sz = p, exc, sz
@@ -48,12 +64,13 @@ def encode(arr: np.ndarray, p: int | None = None) -> bytes:
     if p is None:
         p, _ = best_period(a)
         p = p or 1
-    tiled = np.tile(a[:p], n // p + 1)[:n]
+    pat = majority_pattern(a, p)
+    tiled = np.tile(pat, n // p + 1)[:n]
     exc_pos = np.flatnonzero(a != tiled)
     pos_width = bitpack.width_for(max(n - 1, 1))
     return (
         _HDR.pack(p, len(exc_pos), pos_width)
-        + a[:p].astype("<i4").tobytes()
+        + pat.astype("<i4").tobytes()
         + bitpack.pack(exc_pos, pos_width)
         + a[exc_pos].astype("<i4").tobytes()
     )

@@ -69,7 +69,7 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
             # try every divisor and keep the exact cheapest
             best_p, best_tile_sz = 0, best_size
             for p in (d for d in range(1, lag + 1) if lag % d == 0):
-                n_exc = int(np.count_nonzero(a != np.tile(a[:p], st.n // p + 1)[: st.n]))
+                n_exc = tile.exceptions_for(a, tile.majority_pattern(a, p))
                 sz = tile.size(st.n, p, n_exc)
                 if sz < best_tile_sz:
                     best_p, best_tile_sz = p, sz

@@ -18,7 +18,9 @@ REGIMES = synth.REGIMES
 
 
 def _regime_rows(regime, n_rows=20, n=2048, seed=7):
-    rng = np.random.default_rng([seed, hash(regime) % 2**32])
+    # NB: python's hash() is salted per process — crc32 keeps this fixture
+    # deterministic across runs
+    rng = np.random.default_rng([seed, zlib.crc32(regime.encode())])
     return [synth.gen_tokens(rng, regime, n) for _ in range(n_rows)]
 
 

@@ -68,7 +68,7 @@ def decode_image_stub(payload: bytes) -> np.ndarray:
     read from the payload header bytes — same contract as a real decode."""
     b = np.frombuffer(payload, dtype=np.uint8)
     h, w = int(b[0]) % 32 + 1, int(b[1]) % 32 + 1
-    rng = np.random.default_rng(b[:8].tobytes())
+    rng = np.random.default_rng(int.from_bytes(payload[:8], "little"))
     return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
 
 

@@ -1,0 +1,48 @@
+"""Multimodal plumbing: binary columns through Arrow, stubbed decode with
+real batch shapes, metadata consistency with the oracle-checked query."""
+
+import numpy as np
+import pytest
+
+from crumble_spark import multimodal as mm
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_media_table_binary_column(spark):
+    m = mm.media_table(spark, SF)
+    rows = m.limit(5).collect()
+    assert all(isinstance(bytes(r["payload"]), bytes) and r["n_bytes"] == 16 for r in rows)
+
+
+def test_stub_decode_shapes_are_contractual():
+    payload = bytes(range(16))
+    img = mm.decode_image_stub(payload)
+    assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
+    # deterministic: same payload, same pixels
+    np.testing.assert_array_equal(img, mm.decode_image_stub(payload))
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(payload)
+
+
+def test_extract_features_df(spark):
+    m = mm.media_table(spark, SF)
+    feats = mm.extract_features_df(m, dim=8)
+    rows = feats.collect()
+    assert len(rows) == m.count()
+    for r in rows[:10]:
+        assert len(r["feature"]) == 8
+        assert 1 <= r["width"] <= 32 and 1 <= r["height"] <= 32
+        assert 0 <= r["mean_pixel_e6"] <= 255_000_000
+
+
+def test_feature_dims_match_metadata_query(spark):
+    feats = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in mm.extract_features_df(mm.media_table(spark, SF)).collect()
+    }
+    meta = {
+        r["doc_id"]: (r["width"], r["height"])
+        for r in mm.q_mm_binary_meta(spark, SF).collect()
+    }
+    assert feats == meta

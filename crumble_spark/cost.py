@@ -19,23 +19,33 @@ from . import codecs, stats
 from .codecs import constant, dictionary, for_bp, raw, rle, tile
 from .codecs import delta_bp as delta
 
-# periodic-analysis gates (FSST gram trial + TILE period scan)
+# periodic-analysis gates (FSST gram trial + TILE period scan).
+# card cap: gram/period structure implies a small alphabet; scanning
+# high-cardinality blocks wastes 7 O(n) passes per block for nothing
 FSST_MIN_N = 64
-FSST_MAX_CARD = 1024
+FSST_MAX_CARD = 256
 FSST_MIN_PERIODICITY = 0.35
 
 
 def candidate_sizes(st: stats.BlockStats) -> dict[int, int]:
-    """Exact encoded size per cheap candidate codec."""
+    """Exact encoded size per cheap candidate codec.
+
+    Dictionary sizing needs the (sort-based) cardinality stats, so it is
+    only evaluated when its best-case size — a 2-entry table with 1-bit
+    codes — could still beat the cheap candidates.  High-entropy and
+    FOR/delta-friendly blocks never pay for a sort.
+    """
     sizes = {codecs.RAW: raw.size(st.n)}
-    if st.card == 1:
+    if st.vmin == st.vmax:
         sizes[codecs.CONSTANT] = constant.SIZE
         return sizes
     sizes[codecs.FOR_BP] = for_bp.size(st.n, st.vmax - st.vmin)
     sizes[codecs.RLE] = rle.size(st.n_runs, st.run_vrange, st.max_run_len)
-    _, _, dsz = dictionary.plan(st.counts_desc, st.n)
-    sizes[codecs.DICT] = dsz
     sizes[codecs.DELTA_BP] = delta.size(st.n, st.max_zigzag)
+    dict_lower_bound = dictionary.full_size(2, st.n)
+    if dict_lower_bound < min(sizes.values()):
+        _, _, dsz = dictionary.plan(st.counts_desc, st.n)
+        sizes[codecs.DICT] = dsz
     return sizes
 
 
@@ -61,7 +71,7 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
     # The lag-match fraction must beat what i.i.d. low-card noise shows by
     # chance, else every 2-symbol block wastes a trial encode.
     if st.n >= FSST_MIN_N and 1 < st.card <= FSST_MAX_CARD and best_size * 8 > st.n:
-        lag, frac = stats.periodicity_scan(a, max_lag=tile.MAX_PERIOD)
+        lag, frac = stats.periodicity_scan(a, max_lag=stats.MAX_LAG)
         chance = stats.chance_match_rate(st.counts, st.n)
         if frac >= max(FSST_MIN_PERIODICITY, 1.5 * chance):
             # the scan's best lag is often a multiple of the true period —

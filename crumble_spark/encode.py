@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from . import DEFAULT_BLOCK_SIZE, cost, hashing
+from . import codecs as codecs_mod
 from .schema import ENCODED_SCHEMA
 
 BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
@@ -28,12 +29,16 @@ BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
 MAX_TOKENS_PER_SLICE = 8_000_000
 
 
-def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
+def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE, force_raw: bool = False):
     """Encode one token array → (blocks, bytes_out, row_hash).
 
     Blocks never cross row boundaries (SURVEY.md §7.6) so row round-trip
     equality is local, mirroring crumble bounding all decisions to a
     ±250bp window (snp_score.c:1229).
+
+    force_raw: the preserve-verbatim override — crumble's -R keep-bed /
+    low-mqual whole-read preserve (snp_score.c:1443-1463, 1852-1859)
+    expressed as a row predicate: every block stored as codec 0.
     """
     a = np.ascontiguousarray(a, dtype=np.int32)
     blocks = []
@@ -41,7 +46,10 @@ def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE):
     hashes = []
     for bi, off in enumerate(range(0, len(a), block_size)):
         chunk = a[off : off + block_size]
-        codec_id, payload = cost.choose(chunk)
+        if force_raw:
+            codec_id, payload = codecs_mod.RAW, codecs_mod.encode(codecs_mod.RAW, chunk)
+        else:
+            codec_id, payload = cost.choose(chunk)
         blocks.append(
             {"block_id": bi, "codec_id": codec_id, "n": len(chunk), "payload": payload}
         )
@@ -58,9 +66,14 @@ def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.Da
         "n_tok": pdf["n_tok"].to_numpy().astype(np.int32),
         "split_id": pdf["split_id"].to_numpy().astype(np.int32),
     }
+    force = (
+        pdf["force_raw"].to_numpy()
+        if "force_raw" in pdf.columns
+        else np.zeros(len(pdf), dtype=bool)
+    )
     blocks_col, bout_col, hash_col = [], [], []
-    for toks in pdf["tokens"]:
-        blocks, bytes_out, row_hash = encode_tokens(np.asarray(toks), block_size)
+    for toks, fr in zip(pdf["tokens"], force):
+        blocks, bytes_out, row_hash = encode_tokens(np.asarray(toks), block_size, bool(fr))
         blocks_col.append(blocks)
         bout_col.append(bytes_out)
         hash_col.append(row_hash)

@@ -28,14 +28,52 @@ class BlockStats:
     n: int
     vmin: int
     vmax: int
-    card: int
-    values: np.ndarray  # sorted distinct values
-    counts: np.ndarray  # counts aligned with values
-    counts_desc: np.ndarray  # distinct-value counts, descending
     n_runs: int
     run_vrange: int
     max_run_len: int
     max_zigzag: int
+    _rvals: np.ndarray  # values at run starts (distinct set == block's)
+    _lengths: np.ndarray  # run lengths, aligned with _rvals
+    _values: np.ndarray | None = None
+    _counts: np.ndarray | None = None
+
+    def _materialize_counts(self) -> None:
+        """Cardinality/counts are the one expensive stat (a sort) — only
+        computed when the dictionary codec is still in the running.
+        Uniquing run values (with run-length weights) beats uniquing the
+        block whenever runs compress; bincount beats both when the value
+        range is narrow."""
+        if self._values is not None:
+            return
+        rv = self._rvals
+        vrange = self.vmax - self.vmin
+        if vrange < 4 * len(rv):
+            cnt = np.bincount(rv - self.vmin, weights=self._lengths, minlength=vrange + 1)
+            nz = np.flatnonzero(cnt)
+            self._values = (nz + self.vmin).astype(np.int64)
+            self._counts = cnt[nz].astype(np.int64)
+        else:
+            values, inv = np.unique(rv, return_inverse=True)
+            self._values = values
+            self._counts = np.bincount(inv, weights=self._lengths).astype(np.int64)
+
+    @property
+    def values(self) -> np.ndarray:
+        self._materialize_counts()
+        return self._values
+
+    @property
+    def counts(self) -> np.ndarray:
+        self._materialize_counts()
+        return self._counts
+
+    @property
+    def card(self) -> int:
+        return len(self.values)
+
+    @property
+    def counts_desc(self) -> np.ndarray:
+        return np.sort(self.counts)[::-1]
 
     @property
     def bit_width(self) -> int:
@@ -47,31 +85,20 @@ def compute(a: np.ndarray) -> BlockStats:
     n = len(a)
     vmin = int(a.min())
     vmax = int(a.max())
-    # run structure first: distinct values of the full block == distinct
-    # values at run starts, and per-value counts are run-length sums —
-    # uniquing the (usually much shorter) run-value array is cheaper
     starts = np.concatenate(([0], np.flatnonzero(a[1:] != a[:-1]) + 1))
     rvals = a[starts]
     lengths = np.diff(np.concatenate((starts, [n])))
-    if len(rvals) * 2 < n:
-        values, inv = np.unique(rvals, return_inverse=True)
-        counts = np.bincount(inv, weights=lengths).astype(np.int64)
-    else:
-        values, counts = np.unique(a, return_counts=True)
-    counts_desc = np.sort(counts)[::-1]
     zz = bitpack.zigzag(np.diff(a)) if n > 1 else np.zeros(0, np.uint64)
     return BlockStats(
         n=n,
         vmin=vmin,
         vmax=vmax,
-        card=len(counts),
-        values=values,
-        counts=counts,
-        counts_desc=counts_desc,
         n_runs=len(starts),
         run_vrange=int(rvals.max() - rvals.min()),
         max_run_len=int(lengths.max()),
         max_zigzag=int(zz.max()) if len(zz) else 0,
+        _rvals=rvals,
+        _lengths=lengths,
     )
 
 

@@ -294,6 +294,23 @@ Q_DEDUP_JACCARD_SQL = (
 )
 
 
+def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production dedup shape: cheap LSH candidate generation, exact
+    jaccard verification only on candidates (cheap-gate-then-expensive,
+    the engine cost model's discipline applied to dedup)."""
+    cand = q_dedup_minhash(spark, sf_dir)
+    ver = q_dedup_jaccard(spark, sf_dir)
+    return ver.join(cand, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard_e6")
+
+
+Q_DEDUP_LSH_VERIFIED_SQL = (
+    "WITH cand AS (" + Q_DEDUP_MINHASH_SQL + "), "
+    "ver AS (" + Q_DEDUP_JACCARD_SQL + ") "
+    "SELECT v.doc_a, v.doc_b, v.jaccard_e6 FROM ver v "
+    "JOIN cand c ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b"
+)
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -301,9 +318,11 @@ QUERIES = {
     "dedup_simhash_sig": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_lsh_verified": q_dedup_lsh_verified,
 }
 
 ORACLES = {
+    "dedup_lsh_verified": Q_DEDUP_LSH_VERIFIED_SQL,
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_prefix": Q_DEDUP_PREFIX_SQL,
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,

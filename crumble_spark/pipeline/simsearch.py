@@ -185,14 +185,48 @@ Q_EMB_NEARDUP_SQL = (
 )
 
 
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the bucketed (approximate) search against the brute
+    baseline — the evaluation harness an ANN scale path needs."""
+    brute = q_ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = q_ann_bucketed_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = brute.join(approx, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.col("n_true").cast("int").alias("n_true"),
+        )
+    )
+
+
+Q_ANN_RECALL_SQL = (
+    "WITH brute AS (SELECT q_id, neighbor_id FROM (" + Q_ANN_BRUTE_SQL + ")), "
+    "approx AS (SELECT q_id, neighbor_id FROM (" + Q_ANN_BUCKETED_SQL + ")), "
+    "h AS (SELECT b.q_id, count(*) AS n_hits FROM brute b "
+    "JOIN approx a ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id GROUP BY b.q_id) "
+    "SELECT t.q_id, CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits, "
+    "CAST(t.n_true AS INTEGER) AS n_true "
+    "FROM (SELECT q_id, count(*) AS n_true FROM brute GROUP BY q_id) t "
+    "LEFT JOIN h ON h.q_id = t.q_id"
+)
+
+
 QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
+    "ann_recall_eval": q_ann_recall,
     "ann_bucketed_topk": q_ann_bucketed_topk,
     "embedding_neardup": q_embedding_neardup,
 }
 
 ORACLES = {
     "ann_brute_topk": Q_ANN_BRUTE_SQL,
+    "ann_recall_eval": Q_ANN_RECALL_SQL,
     "ann_bucketed_topk": Q_ANN_BUCKETED_SQL,
     "embedding_neardup": Q_EMB_NEARDUP_SQL,
 }

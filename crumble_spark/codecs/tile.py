@@ -24,15 +24,28 @@ _HDR = struct.Struct("<HIB")
 MAX_PERIOD = 16
 
 
+VOTE_ROWS = 7
+
+
 def majority_pattern(a: np.ndarray, p: int) -> np.ndarray:
     """Per-phase majority vote: a mutation inside the first period must
     not poison every repetition (crumble's consensus call per column,
-    snp_score.c:533-797, is exactly this shape)."""
-    pat = np.empty(p, dtype=np.int64)
-    for i in range(p):
-        vals, counts = np.unique(a[i::p], return_counts=True)
-        pat[i] = vals[np.argmax(counts)]
-    return pat
+    snp_score.c:533-797, is exactly this shape).
+
+    Vote over the first VOTE_ROWS repetitions with pairwise-equality
+    counting (k^2 vectorized compares) instead of p np.unique sorts —
+    an imperfect mode only shifts a few bytes of exception cost, never
+    correctness (exceptions carry exact values regardless).
+    """
+    n = len(a)
+    k = min(VOTE_ROWS, n // p)
+    if k <= 1:
+        return a[:p].astype(np.int64)
+    rows = a[: k * p].reshape(k, p)
+    votes = np.zeros((k, p), dtype=np.int8)
+    for i in range(k):
+        votes[i] = (rows == rows[i]).sum(axis=0, dtype=np.int8)
+    return rows[np.argmax(votes, axis=0), np.arange(p)].astype(np.int64)
 
 
 def exceptions_for(a: np.ndarray, pat: np.ndarray) -> int:

@@ -55,7 +55,13 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
     a: non-empty int64/int32 array. Returns (codec_id, payload).
     """
     a = np.asarray(a, dtype=np.int64)
-    st = stats.compute(a)
+    return choose_with_stats(a, stats.compute(a))
+
+
+def choose_with_stats(a: np.ndarray, st: stats.BlockStats) -> tuple[int, bytes]:
+    """choose() with precomputed BlockStats (the batch-vectorized encode
+    path computes stats for all blocks at once — see encode.encode_flat)."""
+    a = np.asarray(a, dtype=np.int64)
     sizes = candidate_sizes(st)
     best_id = min(sizes, key=lambda c: (sizes[c], c))
     best_size = sizes[best_id]
@@ -87,7 +93,10 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
                 trial = tile.encode(a, best_p)
                 if len(trial) < best_size:
                     best_id, payload, best_size = codecs.TILE, trial, len(trial)
-            trial = codecs.encode(codecs.FSST, a)
-            if len(trial) < best_size:
-                return codecs.FSST, trial
+            # gram tables only stand a chance when the tile didn't already
+            # collapse the block below ~1 bit/token
+            if best_size * 8 > st.n:
+                trial = codecs.encode(codecs.FSST, a)
+                if len(trial) < best_size:
+                    return codecs.FSST, trial
     return best_id, payload

@@ -29,6 +29,135 @@ BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
 MAX_TOKENS_PER_SLICE = 8_000_000
 
 
+def _widths(v: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for non-negative int64 (log2 is exact for
+    our <2^33 ranges)."""
+    v = np.asarray(v, dtype=np.int64)
+    w = np.zeros(len(v), dtype=np.int64)
+    nz = v > 0
+    w[nz] = np.floor(np.log2(v[nz])).astype(np.int64) + 1
+    return w
+
+
+def encode_flat(
+    flat: np.ndarray,
+    offsets: np.ndarray,
+    block_size: int = DEFAULT_BLOCK_SIZE,
+    force_raw: np.ndarray | None = None,
+):
+    """Batch-vectorized encode of many rows at once.
+
+    flat: all rows' tokens concatenated (int32); offsets: row boundaries
+    (len n_rows+1, offsets[0] may be nonzero for sliced Arrow buffers).
+    Returns (blocks_per_row, bytes_out[n_rows], row_hash[n_rows]).
+
+    Design: per-block stats (min/max, run structure, delta ranges) are
+    computed for ALL blocks in vectorized numpy via reduceat/cumsum over
+    the flat buffer — per-block Python work only remains where the
+    dictionary or periodic candidates are genuinely in play (crumble's
+    cheap-stats-gate-expensive-analysis, applied to the batch dimension).
+    Choices are identical to cost.choose modulo exact-tie ordering.
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    base = int(offsets[0])
+    A = np.ascontiguousarray(flat[base : int(offsets[-1])], dtype=np.int32)
+    offs = offsets - base
+    n_rows = len(offs) - 1
+    row_len = np.diff(offs)
+    nb = (row_len + block_size - 1) // block_size
+    total = int(nb.sum())
+    blocks_per_row: list[list] = [[] for _ in range(n_rows)]
+    bytes_out = np.zeros(n_rows, np.int64)
+    row_hash = np.zeros(n_rows, np.int64)
+    if total == 0:
+        return blocks_per_row, bytes_out, row_hash
+    if force_raw is None:
+        force_raw = np.zeros(n_rows, dtype=bool)
+
+    block_row = np.repeat(np.arange(n_rows), nb)
+    nb_excl = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    block_id = np.arange(total) - nb_excl[block_row]
+    bstart = offs[block_row] + block_id * block_size
+    bend = np.minimum(bstart + block_size, offs[block_row + 1])
+    blen = bend - bstart
+
+    # vectorized per-block stats (blocks tile A contiguously)
+    vmin = np.minimum.reduceat(A, bstart).astype(np.int64)
+    vmax = np.maximum.reduceat(A, bstart).astype(np.int64)
+    d = A[1:] != A[:-1]
+    rs = np.flatnonzero(d) + 1
+    all_starts = np.union1d(bstart, rs)
+    seg_len = np.diff(np.concatenate((all_starts, [len(A)])))
+    rb = np.searchsorted(all_starts, bstart)
+    rvals = A[all_starts].astype(np.int64)
+    run_vmin = np.minimum.reduceat(rvals, rb)
+    run_vmax = np.maximum.reduceat(rvals, rb)
+    max_run = np.maximum.reduceat(seg_len, rb)
+    n_runs = np.diff(np.concatenate((rb, [len(all_starts)])))
+
+    if len(A) > 1:
+        diffs = A[1:].astype(np.int64) - A[:-1]
+        zz = ((diffs << 1) ^ (diffs >> 63)).astype(np.int64)
+        zz[bstart[1:] - 1] = 0  # cross-block pairs don't count
+        starts_c = np.minimum(bstart, len(zz) - 1)
+        zzmax = np.maximum.reduceat(zz, starts_c)
+        zzmax[blen < 2] = 0
+    else:
+        zzmax = np.zeros(total, np.int64)
+
+    sz_raw = 4 * blen
+    sz_for = 9 + (blen * _widths(vmax - vmin) + 7) // 8
+    sz_rle = (
+        14
+        + (n_runs * _widths(run_vmax - run_vmin) + 7) // 8
+        + (n_runs * _widths(max_run - 1) + 7) // 8
+    )
+    sz_delta = 5 + ((blen - 1) * _widths(zzmax) + 7) // 8
+    # codec-id order so argmin tie-breaks match cost.choose's (size, id)
+    size_matrix = np.stack([sz_raw, sz_rle, sz_for, sz_delta])
+    cheap_ids = np.array([0, 2, 4, 5], dtype=np.int64)[np.argmin(size_matrix, axis=0)]
+    best_cheap = size_matrix.min(axis=0)
+
+    const_mask = vmin == vmax
+    dict_lb = 12 + (blen + 7) // 8
+    slow_mask = (~const_mask) & ((dict_lb < best_cheap) | (best_cheap * 8 > blen))
+
+    rb_end = np.concatenate((rb[1:], [len(all_starts)]))
+    from . import stats as stats_mod  # local import avoids a cycle
+
+    for b in range(total):
+        row = int(block_row[b])
+        chunk = A[bstart[b] : bend[b]]
+        bid = int(block_id[b])
+        if force_raw[row]:
+            cid, payload = codecs_mod.RAW, codecs_mod.encode(codecs_mod.RAW, chunk)
+        elif const_mask[b]:
+            cid, payload = codecs_mod.CONSTANT, codecs_mod.encode(codecs_mod.CONSTANT, chunk)
+        elif not slow_mask[b]:
+            cid = int(cheap_ids[b])
+            payload = codecs_mod.encode(cid, chunk)
+            assert len(payload) == best_cheap[b], (cid, len(payload), best_cheap[b])
+        else:
+            st = stats_mod.BlockStats(
+                n=int(blen[b]),
+                vmin=int(vmin[b]),
+                vmax=int(vmax[b]),
+                n_runs=int(n_runs[b]),
+                run_vrange=int(run_vmax[b] - run_vmin[b]),
+                max_run_len=int(max_run[b]),
+                max_zigzag=int(zzmax[b]),
+                _rvals=rvals[rb[b] : rb_end[b]],
+                _lengths=seg_len[rb[b] : rb_end[b]],
+            )
+            cid, payload = cost.choose_with_stats(chunk, st)
+        blocks_per_row[row].append(
+            {"block_id": bid, "codec_id": cid, "n": int(blen[b]), "payload": payload}
+        )
+        bytes_out[row] += len(payload) + BLOCK_OVERHEAD
+        row_hash[row] = (row_hash[row] + hashing.block_hash(bid, chunk)) & ((1 << 63) - 1)
+    return blocks_per_row, bytes_out, row_hash
+
+
 def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE, force_raw: bool = False):
     """Encode one token array → (blocks, bytes_out, row_hash).
 
@@ -41,21 +170,11 @@ def encode_tokens(a: np.ndarray, block_size: int = DEFAULT_BLOCK_SIZE, force_raw
     expressed as a row predicate: every block stored as codec 0.
     """
     a = np.ascontiguousarray(a, dtype=np.int32)
-    blocks = []
-    bytes_out = 0
-    hashes = []
-    for bi, off in enumerate(range(0, len(a), block_size)):
-        chunk = a[off : off + block_size]
-        if force_raw:
-            codec_id, payload = codecs_mod.RAW, codecs_mod.encode(codecs_mod.RAW, chunk)
-        else:
-            codec_id, payload = cost.choose(chunk)
-        blocks.append(
-            {"block_id": bi, "codec_id": codec_id, "n": len(chunk), "payload": payload}
-        )
-        bytes_out += len(payload) + BLOCK_OVERHEAD
-        hashes.append(hashing.block_hash(bi, chunk))
-    return blocks, bytes_out, hashing.combine(hashes)
+    blocks, bytes_out, row_hash = encode_flat(
+        a, np.array([0, len(a)], dtype=np.int64), block_size,
+        force_raw=np.array([force_raw]),
+    )
+    return blocks[0], int(bytes_out[0]), int(row_hash[0])
 
 
 def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.DataFrame:
@@ -67,20 +186,19 @@ def encode_pdf(pdf: pd.DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> pd.Da
         "split_id": pdf["split_id"].to_numpy().astype(np.int32),
     }
     force = (
-        pdf["force_raw"].to_numpy()
+        pdf["force_raw"].to_numpy().astype(bool)
         if "force_raw" in pdf.columns
         else np.zeros(len(pdf), dtype=bool)
     )
-    blocks_col, bout_col, hash_col = [], [], []
-    for toks, fr in zip(pdf["tokens"], force):
-        blocks, bytes_out, row_hash = encode_tokens(np.asarray(toks), block_size, bool(fr))
-        blocks_col.append(blocks)
-        bout_col.append(bytes_out)
-        hash_col.append(row_hash)
+    arrays = [np.asarray(t, dtype=np.int32) for t in pdf["tokens"]]
+    lens = np.array([len(a) for a in arrays], dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    flat = np.concatenate(arrays) if arrays else np.zeros(0, np.int32)
+    blocks_col, bout_col, hash_col = encode_flat(flat, offsets, block_size, force)
     out["blocks"] = blocks_col
     out["bytes_in"] = (out["n_tok"].astype(np.int64)) * 4
-    out["bytes_out"] = np.array(bout_col, dtype=np.int64)
-    out["row_hash"] = np.array(hash_col, dtype=np.int64)
+    out["bytes_out"] = np.asarray(bout_col, dtype=np.int64)
+    out["row_hash"] = np.asarray(hash_col, dtype=np.int64)
     return pd.DataFrame(out)
 
 

@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import DEFAULT_BLOCK_SIZE, codecs, hashing
-from ..encode import BLOCK_OVERHEAD, encode_tokens
+from ..encode import encode_flat
 
 SUMMARY_SCHEMA = (
     "input_split string, n_rows long, n_tokens long, bytes_in long, "
@@ -108,25 +108,23 @@ def _encode_split(
         doc_ids = batch.column("doc_id").to_pylist()
         sources = batch.column("source").to_pylist()
         toks = batch.column("tokens")
+        # zero-copy: the Arrow list column IS (values buffer, offsets) —
+        # exactly encode_flat's input shape, no per-row materialization
         flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
-        offs = toks.offsets.to_numpy()
-        rows_blocks, rows_bi, rows_bo, rows_rh, rows_split, rows_ntok = [], [], [], [], [], []
+        offs = toks.offsets.to_numpy().astype(np.int64)
+        rows_blocks, rows_bo, rows_rh = encode_flat(flat, offs, block_size)
+        rows_bi = (np.diff(offs) * 4).astype(np.int64)
+        rows_split, rows_ntok = [], []
         for i, doc_id in enumerate(doc_ids):
-            a = flat[offs[i] : offs[i + 1]]
-            blocks, bo, rh = encode_tokens(a, block_size)
-            for b in blocks:
+            for b in rows_blocks[i]:
                 hist[b["codec_id"]] = hist.get(b["codec_id"], 0) + 1
-            rows_blocks.append(blocks)
-            rows_bi.append(4 * len(a))
-            rows_bo.append(bo)
-            rows_rh.append(rh)
             rows_split.append(zlib.crc32(doc_id.encode()) % n_splits)
-            rows_ntok.append(len(a))
-            checksum = (checksum + rh % (1 << 31)) & ((1 << 63) - 1)
+            rows_ntok.append(int(offs[i + 1] - offs[i]))
+            checksum = (checksum + int(rows_rh[i]) % (1 << 31)) & ((1 << 63) - 1)
         n_rows += len(doc_ids)
         n_tokens += int(offs[-1] - offs[0]) if len(offs) else 0
-        bytes_in += sum(rows_bi)
-        bytes_out += sum(rows_bo)
+        bytes_in += int(rows_bi.sum())
+        bytes_out += int(rows_bo.sum())
         out_batches.append(
             pa.record_batch(
                 [

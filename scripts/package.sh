@@ -4,7 +4,7 @@
 #   scripts/package.sh                  # -> dist/crumble_spark.zip
 #   spark-submit --py-files dist/crumble_spark.zip \
 #       --conf spark.task.cpus=1 \
-#       crumble_spark/job.py --input <parquet> --output <dir>
+#       scripts/run_encode.py --input <parquet> --output <dir>
 set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p dist

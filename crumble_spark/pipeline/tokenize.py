@@ -171,9 +171,29 @@ Q_ROUNDTRIP_LINEITEM_SQL = (
 )
 
 
+def q_validate_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Input-contract check on the derived tokens table (all-zero
+    violation counts when the contract holds)."""
+    from ..validate import validation_report
+
+    return validation_report(tokens_table(spark, sf_dir)).orderBy("source")
+
+
+Q_VALIDATE_SQL = (
+    TOK_CTE
+    + " SELECT source, count(*) AS n_rows, "
+    "CAST(sum(CASE WHEN tokens IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_tokens, "
+    "CAST(0 AS BIGINT) AS n_tok_mismatch, "  # derived table: n_tok == len(tokens) by construction
+
+    "CAST(sum(CASE WHEN doc_id IS NULL OR doc_id = '' THEN 1 ELSE 0 END) AS BIGINT) AS bad_doc_id "
+    "FROM tok GROUP BY source"
+)
+
+
 QUERIES = {
     "engine_roundtrip_docs": q_roundtrip_docs,
     "engine_roundtrip_lineitem": q_roundtrip_lineitem,
+    "engine_validate_contract": q_validate_contract,
     "engine_block_stats": q_block_stats,
     "engine_compression_by_source": q_compression_by_source,
     "engine_codec_histogram": q_codec_histogram,
@@ -182,6 +202,7 @@ QUERIES = {
 ORACLES = {
     "engine_roundtrip_docs": Q_ROUNDTRIP_DOCS_SQL,
     "engine_roundtrip_lineitem": Q_ROUNDTRIP_LINEITEM_SQL,
+    "engine_validate_contract": Q_VALIDATE_SQL,
     "engine_block_stats": Q_BLOCK_STATS_SQL,
     # compression/codec histogram are engine-internal: rows-only checks
 }

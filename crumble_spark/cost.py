@@ -60,8 +60,8 @@ def choose(a: np.ndarray) -> tuple[int, bytes]:
 
 def choose_with_stats(a: np.ndarray, st: stats.BlockStats) -> tuple[int, bytes]:
     """choose() with precomputed BlockStats (the batch-vectorized encode
-    path computes stats for all blocks at once — see encode.encode_flat)."""
-    a = np.asarray(a, dtype=np.int64)
+    path computes stats for all blocks at once — see encode.encode_flat).
+    Accepts int32 or int64 input; codecs convert internally as needed."""
     sizes = candidate_sizes(st)
     best_id = min(sizes, key=lambda c: (sizes[c], c))
     best_size = sizes[best_id]
@@ -77,6 +77,7 @@ def choose_with_stats(a: np.ndarray, st: stats.BlockStats) -> tuple[int, bytes]:
     # The lag-match fraction must beat what i.i.d. low-card noise shows by
     # chance, else every 2-symbol block wastes a trial encode.
     if st.n >= FSST_MIN_N and 1 < st.card <= FSST_MAX_CARD and best_size * 8 > st.n:
+        a = np.asarray(a, dtype=np.int64)  # one upcast for the tile/lag math
         lag, frac = stats.periodicity_scan(a, max_lag=stats.MAX_LAG)
         chance = stats.chance_match_rate(st.counts, st.n)
         if frac >= max(FSST_MIN_PERIODICITY, 1.5 * chance):

@@ -83,7 +83,7 @@ def main() -> None:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         parquet_direct.encode_job_direct(
-            spark, tok_path, out, block_size=1024, n_splits=64, resume=False
+            spark, tok_path, out, block_size=4096, n_splits=64, resume=False
         )
         dt = time.perf_counter() - t0
         best = dt if best is None else min(best, dt)

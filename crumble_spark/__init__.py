@@ -12,4 +12,8 @@ single-pass C pileup pipeline; this is a partition-parallel batch engine.
 
 __version__ = "0.1.0"
 
-DEFAULT_BLOCK_SIZE = 1024
+# per-block overheads amortize with size while blocks stay capped by row
+# length, so large defaults win on both ratio and throughput (measured:
+# 256→4096 gives 7.9x→9.5x and 1.5→6.9 M tok/s/core on the mixed
+# fixture); shrink via presets when documents mix regimes internally
+DEFAULT_BLOCK_SIZE = 4096

@@ -45,7 +45,7 @@ tok.limit(2000).mapInPandas(noop, schema="n long").collect()  # warm python work
 
 shutil.rmtree(out, ignore_errors=True)
 t0 = time.perf_counter()
-direct.encode_job_direct(spark, tok_path, out, block_size=1024, n_splits=64, resume=False)
+direct.encode_job_direct(spark, tok_path, out, block_size=4096, n_splits=64, resume=False)
 dt = time.perf_counter() - t0
 print(json.dumps({"sec": dt, "tokens": int(n_tokens)}))
 spark.stop()

@@ -14,6 +14,7 @@ otherwise (this sandbox).  Both give idempotent per-split re-writes.
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import uuid
 from dataclasses import dataclass
 
@@ -50,11 +51,12 @@ def run_encode_job(
     df: DataFrame,
     out_dir: str,
     run_id: str | None = None,
-    cfg: EncodeConfig = EncodeConfig(),
+    cfg: EncodeConfig | None = None,
     resume: bool = True,
 ) -> dict:
     """Encode `df` into {out_dir}/encoded (partitioned by split_id) with
     lineage rows in {out_dir}/lineage. Returns run summary."""
+    cfg = cfg or EncodeConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
     enc_dir = f"{out_dir}/encoded"
     lin_dir = f"{out_dir}/lineage"
@@ -111,11 +113,13 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark(app="crumble-spark-encode")
-    cfg = PRESETS[args.preset]
+    # replace, never mutate: PRESETS entries are shared process-wide
+    overrides = {}
     if args.block_size:
-        cfg.block_size = args.block_size
+        overrides["block_size"] = args.block_size
     if args.n_splits:
-        cfg.n_splits = args.n_splits
+        overrides["n_splits"] = args.n_splits
+    cfg = dataclasses.replace(PRESETS[args.preset], **overrides)
     if args.direct:
         from .sources.parquet_direct import encode_job_direct
 

@@ -110,7 +110,12 @@ def encode_giant_rows(df: DataFrame, block_size: int = DEFAULT_BLOCK_SIZE) -> Da
         .agg(
             F.array_sort(F.collect_list(F.struct("block_id", "block"))).alias("bs"),
             F.sum("block_bytes").alias("bytes_out"),
-            F.sum("block_hash").alias("row_hash"),
+            # row_hash is defined mod 2^63 (hashing.combine); the int64 sum
+            # wraps mod 2^64, and (x mod 2^64) mod 2^63 == x mod 2^63, so
+            # masking the wrapped sum reproduces the fused path / decode-
+            # verify value even for docs with enough blocks to overflow
+            # (session.py pins ANSI off so the sum wraps instead of throwing)
+            F.sum("block_hash").bitwiseAND(F.lit((1 << 63) - 1)).alias("row_hash"),
         )
         .select(
             "doc_id",

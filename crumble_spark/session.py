@@ -49,6 +49,9 @@ def get_spark(
         # arrays; a 32 MB default would cap a 350 MB input at ~12 tasks
         .config("spark.sql.files.maxPartitionBytes", str(8 * 1024 * 1024))
         .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
+        # the block-combinable row_hash relies on int64 sums wrapping
+        # (then masked mod 2^63) — ANSI mode would throw on the wrap
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))

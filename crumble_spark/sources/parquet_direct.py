@@ -110,7 +110,18 @@ def _encode_split(
         toks = batch.column("tokens")
         # zero-copy: the Arrow list column IS (values buffer, offsets) —
         # exactly encode_flat's input shape, no per-row materialization
-        flat = toks.values.to_numpy(zero_copy_only=False).astype(np.int32, copy=False)
+        vtype = toks.type.value_type
+        flat = toks.values.to_numpy(zero_copy_only=False)
+        if not pa.types.is_int32(vtype):
+            # input contract is array<int32>; a silent astype would wrap
+            # out-of-range int64 values and row_hash would happily verify
+            # the corrupted values — fail the split loudly instead
+            if len(flat) and (flat.min() < -(1 << 31) or flat.max() >= (1 << 31)):
+                raise ValueError(
+                    f"input contract violation in {path} rg{rg}: tokens are "
+                    f"{vtype}, values exceed int32 range"
+                )
+        flat = flat.astype(np.int32, copy=False)
         offs = toks.offsets.to_numpy().astype(np.int64)
         rows_blocks, rows_bo, rows_rh = encode_flat(flat, offs, block_size)
         rows_bi = (np.diff(offs) * 4).astype(np.int64)

@@ -8,6 +8,7 @@ incremental mode; drop the trigger for a long-running ingester.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from .. import DEFAULT_BLOCK_SIZE, lineage
 from ..encode import encode_df
@@ -35,10 +36,26 @@ def encode_stream(
         # persist: the encoded batch feeds both the sink and the lineage
         # aggregation — without it the kernel would run twice
         enc = encode_df(batch_df, block_size=block_size, n_splits=n_splits).persist()
+        # exactly-once despite foreachBatch's at-least-once replay: each
+        # micro-batch owns the batch=<id> partition and dynamic-overwrites
+        # it, so a batch replayed after a post-write/pre-commit crash
+        # replaces its own previous output instead of duplicating it
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
-            enc.write.mode("append").parquet(f"{out_dir}/encoded")
+            (
+                enc.withColumn("batch", F.lit(batch_id))
+                .write.partitionBy("batch")
+                .mode("overwrite")
+                .parquet(f"{out_dir}/encoded")
+            )
             lin = lineage.lineage_from_encoded(enc, run_id=f"stream-{batch_id}")
-            lin.write.mode("append").parquet(f"{out_dir}/lineage")
+            (
+                lin.withColumn("batch", F.lit(batch_id))
+                .write.partitionBy("batch")
+                .mode("overwrite")
+                .parquet(f"{out_dir}/lineage")
+            )
         finally:
             enc.unpersist()
 

@@ -43,6 +43,45 @@ def test_direct_decode_verify(spark, tok_dir, tmp_path):
     assert totals["tokens"] == src["t"]
 
 
+def test_direct_rejects_out_of_range_int64_tokens(tmp_path):
+    # int64 token column with values outside int32: the contract check must
+    # fail the split loudly, never silently wrap (ADVICE r1)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    bad = pa.table(
+        {
+            "doc_id": pa.array(["a", "b"], pa.string()),
+            "tokens": pa.array([[1, 2], [2**40, 3]], pa.list_(pa.int64())),
+            "n_tok": pa.array([2, 2], pa.int32()),
+            "source": pa.array(["web", "web"], pa.string()),
+        }
+    )
+    f = str(tmp_path / "bad.parquet")
+    pq.write_table(bad, f)
+    with pytest.raises(ValueError, match="contract violation"):
+        direct._encode_split(f, 0, str(tmp_path), 256, 16)
+
+
+def test_direct_accepts_in_range_int64_tokens(tmp_path):
+    # widened storage type with in-range values is fine (safe downcast)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ok = pa.table(
+        {
+            "doc_id": pa.array(["a"], pa.string()),
+            "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int64())),
+            "n_tok": pa.array([3], pa.int32()),
+            "source": pa.array(["web"], pa.string()),
+        }
+    )
+    f = str(tmp_path / "ok.parquet")
+    pq.write_table(ok, f)
+    row = direct._encode_split(f, 0, str(tmp_path), 256, 16)
+    assert row[-1] == "done" and row[1] == 1
+
+
 def test_direct_resume_skips_done_splits(spark, tok_dir, tmp_path):
     out = str(tmp_path / "resume")
     all_splits = direct.list_input_splits(tok_dir)

@@ -50,6 +50,22 @@ def test_giant_path_matches_fused_path_exactly(spark):
     assert a == b
 
 
+def test_giant_hash_reassembly_survives_int64_wrap(spark):
+    # block hashes near 2^63 must reassemble to the python-side combine()
+    # (sum mod 2^63) even when the Spark int64 sum wraps negative — the
+    # exact regression the masked aggregate in encode_giant_rows guards
+    from crumble_spark import hashing
+
+    hs = [(1 << 62) + 12345, (1 << 62) + 67890, (1 << 61) + 7]
+    want = hashing.combine(hs)
+    df = spark.createDataFrame([(h,) for h in hs], "block_hash long")
+    got = df.agg(
+        F.sum("block_hash").bitwiseAND(F.lit((1 << 63) - 1)).alias("row_hash")
+    ).collect()[0]["row_hash"]
+    assert got == want
+    assert sum(hs) >= (1 << 63)  # the fixture really does overflow int64's positive range
+
+
 def test_salted_repartition_spreads_hot_source(spark):
     # all rows share one source; salting must still spread them
     rows = [(f"web-{i:05d}", [1, 2, 3], 3, "web") for i in range(400)]

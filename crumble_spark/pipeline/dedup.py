@@ -9,12 +9,16 @@ Four families, each a pure DataFrame composition with a DuckDB oracle:
 * ngram jaccard— exact jaccard on distinct 3-gram sets for candidate pairs
 
 Scale notes (100 TB): every candidate generator is a shuffle on a *short
-key* (band hash / gram / signature), never a cross join; pair dedup is a
-groupBy on (doc_a, doc_b).  The jaccard verifier only runs on candidate
-pairs emitted by the gram join, mirroring cheap-gate-then-expensive from
-the engine's cost model.  Hot grams (stop-shingles) should be frequency-
-capped before the join at real scale; at test scale the cap is a no-op
-and is therefore left out of the verified semantics.
+key* (band hash / gram / nibble band), never a cross join; pair dedup is
+a groupBy on (doc_a, doc_b).  Per-key fanout is explicitly bounded
+everywhere a degenerate key could go quadratic: hot grams are frequency-
+capped (GRAM_DF_CAP) via a broadcast anti-join, LSH band buckets above
+LSH_MAX_BUCKET are dropped-and-reported (q_lsh_bucket_stats), and simhash
+pairs come from a nibble-band equi-join, not a signature self-join.  The
+exact-jaccard verifier runs only on LSH candidate pairs (restricted
+BEFORE the intersect groupBy), mirroring cheap-gate-then-expensive from
+the engine's cost model.  Both caps sit far above the measured test-scale
+maxima, so they are semantics-neutral at oracle scale and binding at 10^12.
 """
 
 from __future__ import annotations
@@ -30,6 +34,16 @@ N_BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 16
 JACCARD_THRESHOLD = 0.3
 PREFIX_WORDS = 10
+
+# MAX_DEPTH-discipline caps (crumble bounds per-position work at MAX_DEPTH,
+# snp_score.c:92,1493-1500; we bound per-key fanout the same way).  Both
+# caps are far above the measured test-scale maxima (gram df <= 9, bucket
+# size <= ~5 at sf0.01) so oracle semantics are unchanged at test scale,
+# and they bind exactly where the quadratic blowups would start at 100 TB.
+GRAM_DF_CAP = 64  # shingles shared by more docs than this are stop-shingles
+LSH_MAX_BUCKET = 64  # band buckets larger than this are skipped (reported)
+SIMHASH_HAM_MAX = 2
+SIMHASH_N_BANDS = 4  # 4-bit nibbles; ham<=2 leaves >=2 of 4 bands intact
 
 
 # --- exact -----------------------------------------------------------------
@@ -133,10 +147,14 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
+    # bucket-size cap BEFORE pair expansion (MAX_DEPTH discipline): one
+    # degenerate band key (shared boilerplate) would otherwise expand
+    # quadratically inside collect_set; oversized buckets are dropped here
+    # and surfaced by q_lsh_bucket_stats so the drop is observable
     buckets = (
         banded.groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter((F.size("ds") > 1) & (F.size("ds") <= LSH_MAX_BUCKET))
     )
     pairs = F.filter(
         F.flatten(
@@ -180,8 +198,60 @@ def _minhash_cte() -> str:
 
 Q_DEDUP_MINHASH_SQL = (
     _minhash_cte()
-    + " SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
-    "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id"
+    + f", ok AS (SELECT band, key FROM bands GROUP BY band, key "
+    f"HAVING count(*) <= {LSH_MAX_BUCKET}) "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b FROM bands a "
+    "JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id "
+    "JOIN ok ON ok.band = a.band AND ok.key = a.key"
+)
+
+
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band LSH bucket census: how many buckets exist, how full the
+    fullest is, and how many (docs) the size cap skipped — the observable
+    counterpart of the MAX_DEPTH-style drop in q_dedup_minhash (crumble
+    reports its depth-cap hits the same way, snp_score.c:1496-1498)."""
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_PERM // N_BANDS
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "|",
+                *[F.col(f"s{b * rows_per_band + r}").cast("string") for r in range(rows_per_band)],
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
+    per_bucket = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
+            F.max("sz").alias("max_size"),
+            F.sum(F.when(F.col("sz") > LSH_MAX_BUCKET, F.col("sz")).otherwise(0)).alias(
+                "docs_skipped"
+            ),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_multi",
+            "max_size",
+            "docs_skipped",
+        )
+    )
+
+
+Q_LSH_BUCKET_STATS_SQL = (
+    _minhash_cte()
+    + ", pb AS (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) "
+    "SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets, "
+    "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi, "
+    "max(sz) AS max_size, "
+    f"CAST(sum(CASE WHEN sz > {LSH_MAX_BUCKET} THEN sz ELSE 0 END) AS BIGINT) AS docs_skipped "
+    "FROM pb GROUP BY band"
 )
 
 
@@ -227,20 +297,49 @@ Q_SIMHASH_SQL = _simhash_cte() + " SELECT doc_id, simhash FROM sim"
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming distance <= 2 on the 16-bit simhash.
-    (Test-scale pairing is a self-join on signature tables; at 100 TB,
-    band the 16 bits into 4 nibbles and join per band — same semantics.)"""
+    """Near-dup pairs at hamming distance <= SIMHASH_HAM_MAX, via banding.
+
+    Scale shape (NOT a cartesian): the 16-bit signature is split into 4
+    nibble bands; by pigeonhole, any pair within hamming 2 agrees exactly
+    on >= 2 of the 4 bands, so an equi-join on (band, nibble) finds every
+    qualifying pair.  The expensive check (bit_count of the xor) runs only
+    on band-collision candidates — one short-key shuffle, no self-join of
+    the full signature table.  With a production-width signature (64-bit,
+    4 x 16-bit bands) each band key has 65k values; the 16-bit width here
+    is kept so the oracle stays bit-identical to round 1.
+    """
     s = q_simhash(spark, sf_dir)
-    a, b = s.alias("a"), s.alias("b")
+    nibble_bits = SIMHASH_BITS // SIMHASH_N_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * nibble_bits)
+                .bitwiseAND(F.lit((1 << nibble_bits) - 1))
+                .alias("key"),
+            )
+            for b in range(SIMHASH_N_BANDS)
+        ]
+    )
+    banded = s.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= 2)
+        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
+        .distinct()  # a pair can collide in up to 4 bands
     )
 
 
@@ -255,14 +354,45 @@ Q_DEDUP_SIMHASH_SQL = (
 
 # --- n-gram jaccard ----------------------------------------------------------
 
+def _capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exploded (doc_id, gram, n) rows with stop-shingles removed.
+
+    Hot grams (document frequency > GRAM_DF_CAP) are the quadratic killers
+    of any gram equi-join: one boilerplate shingle shared by k docs emits
+    k(k-1)/2 pairs.  The hot set is tiny by construction (few grams can
+    exceed the cap), so it broadcast-anti-joins against the exploded grams
+    without re-shuffling them; n is the per-doc KEPT gram count, so the
+    jaccard downstream is exact over the capped sets in both engines.
+    """
+    e = _doc_grams(spark, sf_dir).select("doc_id", F.explode("grams").alias("gram"))
+    hot = (
+        e.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > GRAM_DF_CAP)
+        .select("gram")
+    )
+    kept = e.join(F.broadcast(hot), "gram", "left_anti")
+    return kept.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
+
+
+_CAPPED_GRAMS_CTE = (
+    "WITH g AS (SELECT doc_id, "
+    + shared.GRAMS3_SQL.format(ws=shared.WORDS_SQL.format(c="text"))
+    + " AS grams FROM documents), "
+    "e AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0), "
+    f"hot AS (SELECT gram FROM e GROUP BY gram HAVING count(*) > {GRAM_DF_CAP}), "
+    "k AS (SELECT doc_id, gram, count(*) OVER (PARTITION BY doc_id) AS n FROM e "
+    "WHERE gram NOT IN (SELECT gram FROM hot))"
+)
+
+
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact jaccard over distinct 3-gram sets, computed distributively:
-    explode grams → pair candidates via gram join → |∩| by groupBy →
-    |∪| = |A|+|B|-|∩|.  No cross join anywhere."""
-    g = _doc_grams(spark, sf_dir).select(
-        "doc_id", F.size("grams").alias("n"), F.explode("grams").alias("gram")
-    )
-    a, b = g.alias("a"), g.alias("b")
+    explode grams → frequency-cap hot grams → pair candidates via gram
+    equi-join → |∩| by groupBy → |∪| = |A|+|B|-|∩|.  No cross join, and
+    per-gram fanout is bounded by GRAM_DF_CAP."""
+    k = _capped_grams(spark, sf_dir)
+    a, b = k.alias("a"), k.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -282,12 +412,9 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DEDUP_JACCARD_SQL = (
-    "WITH g AS (SELECT doc_id, "
-    + shared.GRAMS3_SQL.format(ws=shared.WORDS_SQL.format(c="text"))
-    + " AS grams FROM documents), "
-    "e AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS gram FROM g WHERE len(grams) > 0), "
-    "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, "
-    "count(*) AS inter FROM e a JOIN e b ON a.gram = b.gram AND a.doc_id < b.doc_id "
+    _CAPPED_GRAMS_CTE
+    + ", i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.n AS na, b.n AS nb, "
+    "count(*) AS inter FROM k a JOIN k b ON a.gram = b.gram AND a.doc_id < b.doc_id "
     "GROUP BY 1, 2, 3, 4) "
     "SELECT doc_a, doc_b, CAST(floor((inter * 1.0 / (na + nb - inter)) * 1000000) AS BIGINT) AS jaccard_e6 "
     f"FROM i WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}"
@@ -296,18 +423,45 @@ Q_DEDUP_JACCARD_SQL = (
 
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: cheap LSH candidate generation, exact
-    jaccard verification only on candidates (cheap-gate-then-expensive,
-    the engine cost model's discipline applied to dedup)."""
+    jaccard verification restricted to candidates BEFORE the expensive
+    intersect groupBy (cheap-gate-then-expensive — crumble's -Y gate
+    discipline, snp_score.c:1732).
+
+    Plan: broadcast the (small) candidate pair set onto the exploded
+    capped grams of doc_a, then equi-join doc_b's grams on (gram, doc_id)
+    — the gram-intersection work is proportional to candidate pairs, not
+    to every gram-sharing pair in the corpus.
+    """
     cand = q_dedup_minhash(spark, sf_dir)
-    ver = q_dedup_jaccard(spark, sf_dir)
-    return ver.join(cand, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard_e6")
+    k = _capped_grams(spark, sf_dir)
+    a, b = k.alias("a"), k.alias("b")
+    inter = (
+        F.broadcast(cand)
+        .join(a, F.col("a.doc_id") == F.col("doc_a"))
+        .join(
+            b,
+            (F.col("b.gram") == F.col("a.gram")) & (F.col("b.doc_id") == F.col("doc_b")),
+        )
+        .groupBy("doc_a", "doc_b", F.col("a.n").alias("na"), F.col("b.n").alias("nb"))
+        .agg(F.count("*").alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return (
+        inter.withColumn("jaccard_e6", F.floor(jac * 1_000_000).cast("long"))
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard_e6")
+    )
 
 
 Q_DEDUP_LSH_VERIFIED_SQL = (
-    "WITH cand AS (" + Q_DEDUP_MINHASH_SQL + "), "
-    "ver AS (" + Q_DEDUP_JACCARD_SQL + ") "
-    "SELECT v.doc_a, v.doc_b, v.jaccard_e6 FROM ver v "
-    "JOIN cand c ON v.doc_a = c.doc_a AND v.doc_b = c.doc_b"
+    _CAPPED_GRAMS_CTE
+    + ", cand AS (" + Q_DEDUP_MINHASH_SQL + "), "
+    "i AS (SELECT c.doc_a, c.doc_b, a.n AS na, b.n AS nb, count(*) AS inter "
+    "FROM cand c JOIN k a ON a.doc_id = c.doc_a "
+    "JOIN k b ON b.doc_id = c.doc_b AND b.gram = a.gram "
+    "GROUP BY 1, 2, 3, 4) "
+    "SELECT doc_a, doc_b, CAST(floor((inter * 1.0 / (na + nb - inter)) * 1000000) AS BIGINT) AS jaccard_e6 "
+    f"FROM i WHERE inter * 1.0 / (na + nb - inter) >= {JACCARD_THRESHOLD}"
 )
 
 
@@ -315,6 +469,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
     "dedup_minhash_lsh": q_dedup_minhash,
+    "dedup_lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_simhash_sig": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_ngram_jaccard": q_dedup_jaccard,
@@ -326,6 +481,7 @@ ORACLES = {
     "dedup_exact": Q_DEDUP_EXACT_SQL,
     "dedup_prefix": Q_DEDUP_PREFIX_SQL,
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
+    "dedup_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
     "dedup_simhash_sig": Q_SIMHASH_SQL,
     "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
     "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,

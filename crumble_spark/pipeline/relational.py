@@ -42,14 +42,20 @@ Q_EVENTS_HOURLY_SQL = (
 
 
 def q_events_top_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 users by event count (count-rank pattern; ties by user_id)."""
+    """Top-10 users by event count (count-rank pattern; ties by user_id).
+
+    Plan shape: orderBy().limit() compiles to TakeOrderedAndProject — a
+    per-partition top-10 merged on the driver — instead of a global
+    no-partition window, which would drag every user-count row through a
+    single task at 10^9 users.  The row_number window then ranks only the
+    10 surviving rows.
+    """
     e = _t(spark, sf_dir, "events")
     counts = e.groupBy("user_id").agg(F.count("*").alias("n_events"))
+    top = counts.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
     w = Window.orderBy(F.desc("n_events"), F.asc("user_id"))
-    return (
-        counts.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 10)
-        .select("user_id", "n_events", F.col("rank").cast("int").alias("rank"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "user_id", "n_events", F.col("rank").cast("int").alias("rank")
     )
 
 

@@ -185,6 +185,249 @@ Q_EMB_NEARDUP_SQL = (
 )
 
 
+# --- N-scaled buckets + multi-probe (the 10^12-row path) ---------------------
+#
+# The fixed 2^8 bucket table above keeps bucket population growing linearly
+# with corpus size.  The scaled variant derives the bucket bit-count from N
+# so buckets hold ~ANN_TARGET_BUCKET rows regardless of corpus size
+# (nb = clamp(ceil(log2(N / target)), 4, 16) — spelled as an integer
+# threshold chain so Spark and DuckDB agree exactly), and probes the
+# query's bucket plus all hamming-1 neighbors to recover the recall that
+# narrower buckets would otherwise cost.
+
+ANN_TARGET_BUCKET = 64
+ANN_MIN_BITS, ANN_MAX_BITS = 4, 16
+# nb >= b iff N > target * 2^(b-1); thresholds generated once, used verbatim
+# in both engines
+_NB_THRESHOLDS = [(b, ANN_TARGET_BUCKET * (1 << (b - 1))) for b in range(ANN_MAX_BITS, ANN_MIN_BITS, -1)]
+
+
+def _nb_col(n: Column) -> Column:
+    expr = F.lit(ANN_MIN_BITS)
+    for b, thresh in reversed(_NB_THRESHOLDS):
+        expr = F.when(n > thresh, F.lit(b)).otherwise(expr)
+    return expr
+
+
+_NB_SQL = (
+    "CASE "
+    + " ".join(f"WHEN n > {t} THEN {b}" for b, t in _NB_THRESHOLDS)
+    + f" ELSE {ANN_MIN_BITS} END"
+)
+
+
+def _scaled_bucket(emb: Column, nb: Column) -> Column:
+    """Sign-bit bucket over the first `nb` dims, as a left fold
+    (acc*2 + bit) so no shift-by-column is needed; bit for dim i carries
+    weight 2^(nb-i)."""
+    bit = lambda i: F.when(F.element_at(emb, i) > 0, F.lit(1)).otherwise(F.lit(0))
+    return F.aggregate(
+        F.sequence(F.lit(1), nb),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc * 2 + bit(i).cast("long"),
+    )
+
+
+_SCALED_BUCKET_SQL = (
+    "CAST(list_reduce(list_prepend(0, list_transform(generate_series(1, {nb}), "
+    "i -> CASE WHEN {emb}[i] > 0 THEN 1 ELSE 0 END)), (a, x) -> a * 2 + x) AS BIGINT)"
+)
+
+
+def _scaled_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _embeddings(spark, sf_dir)
+    nbdf = e.agg(F.count("*").alias("corpus_n")).select(
+        _nb_col(F.col("corpus_n")).alias("nb")
+    )
+    eb = e.crossJoin(F.broadcast(nbdf))
+    return eb.withColumn("bucket", _scaled_bucket(F.col("emb"), F.col("nb")))
+
+
+def q_ann_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with N-scaled bucket bits and hamming-1 multi-probe.
+
+    Plan: corpus gets one bucket each; every query expands to nb+1 probe
+    buckets (own + each single bit flipped); candidates come from an
+    equi-join on the bucket value.  Bucket population stays
+    ~ANN_TARGET_BUCKET as N grows because nb grows with log2(N); at
+    10^12 rows this is the inverted-index/IVF shape with 2^16 lists.
+    """
+    eb = _scaled_base(spark, sf_dir)
+    q = eb.filter(F.col("vec_id") < N_QUERIES)
+    # probe set: exact bucket plus each bit flipped; bit i has weight
+    # 2^(nb-i), and flipping adds (1-2*bit)*weight
+    flip = lambda i: (
+        F.col("bucket")
+        + (F.lit(1) - 2 * F.when(F.element_at("q_emb", i) > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        * F.pow(F.lit(2.0), (F.col("nb") - i).cast("double")).cast("long")
+    )
+    q = q.select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        "bucket",
+        "nb",
+    )
+    probes = q.select(
+        "q_id",
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(F.sequence(F.lit(1), F.col("nb")), flip),
+            )
+        ).alias("p_bucket"),
+    )
+    pairs = eb.join(
+        F.broadcast(probes),
+        (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    ranked = pairs.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id",
+        "neighbor_id",
+        F.floor(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+_SCALED_CTE = (
+    _EMB_CTE
+    + f", cnt AS (SELECT count(*) AS n FROM e), nbv AS (SELECT {_NB_SQL} AS nb FROM cnt), "
+    "b AS (SELECT vec_id, emb, nrm, "
+    + _SCALED_BUCKET_SQL.format(nb="(SELECT nb FROM nbv)", emb="emb")
+    + " AS bucket FROM n)"
+)
+
+Q_ANN_SCALED_SQL = (
+    _SCALED_CTE
+    + f", q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm, bucket FROM b WHERE vec_id < {N_QUERIES}), "
+    "probes AS (SELECT q_id, q_emb, q_nrm, bucket FROM q "
+    "UNION ALL "
+    "SELECT q_id, q_emb, q_nrm, "
+    "bucket + CAST((1 - 2 * (CASE WHEN q_emb[i] > 0 THEN 1 ELSE 0 END)) AS BIGINT) "
+    "* CAST(pow(2, (SELECT nb FROM nbv) - i) AS BIGINT) AS bucket "
+    "FROM q, (SELECT unnest(generate_series(1, (SELECT nb FROM nbv))) AS i) s), "
+    "p AS (SELECT pr.q_id, v.vec_id AS neighbor_id, "
+    + _DOT_SQL.format(a="pr.q_emb", b="v.emb")
+    + " / (pr.q_nrm * v.nrm) AS cos FROM b v JOIN probes pr "
+    "ON v.bucket = pr.bucket AND v.vec_id <> pr.q_id), "
+    "r AS (SELECT q_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p) "
+    "SELECT q_id, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6, "
+    f"CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= {TOP_K}"
+)
+
+
+def q_ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the N-scaled multi-probe search against the brute
+    baseline — proves recall holds as buckets deepen (the 'Done' gate for
+    the scaled path)."""
+    brute = q_ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    approx = q_ann_scaled_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    hits = brute.join(approx, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        brute.groupBy("q_id")
+        .agg(F.count("*").alias("n_true"))
+        .join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("int").alias("n_hits"),
+            F.col("n_true").cast("int").alias("n_true"),
+        )
+    )
+
+
+Q_ANN_RECALL_SCALED_SQL = (
+    "WITH brute AS (SELECT q_id, neighbor_id FROM (" + Q_ANN_BRUTE_SQL + ")), "
+    "approx AS (SELECT q_id, neighbor_id FROM (" + Q_ANN_SCALED_SQL + ")), "
+    "h AS (SELECT b.q_id, count(*) AS n_hits FROM brute b "
+    "JOIN approx a ON a.q_id = b.q_id AND a.neighbor_id = b.neighbor_id GROUP BY b.q_id) "
+    "SELECT t.q_id, CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits, "
+    "CAST(t.n_true AS INTEGER) AS n_true "
+    "FROM (SELECT q_id, count(*) AS n_true FROM brute GROUP BY q_id) t "
+    "LEFT JOIN h ON h.q_id = t.q_id"
+)
+
+
+def q_embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs over N-scaled buckets with hamming-1 probing.
+
+    Each vector probes its own bucket plus every single-bit flip; a pair
+    whose buckets differ by one bit is found exactly once (probe side is
+    pinned to the smaller vec_id).  Per-bucket population is held at
+    ~ANN_TARGET_BUCKET by the N-derived bit count, so the within-bucket
+    pair expansion is O(N * (nb+1) * target) — linear in N — instead of
+    the fixed-bucket O(N^2/256)."""
+    eb = _scaled_base(spark, sf_dir)
+    flip = lambda i: (
+        F.col("bucket")
+        + (F.lit(1) - 2 * F.when(F.element_at("a_emb", i) > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        * F.pow(F.lit(2.0), (F.col("nb") - i).cast("double")).cast("long")
+    )
+    probes = eb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("emb").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+        "bucket",
+        "nb",
+    ).select(
+        "vec_a",
+        "a_emb",
+        "a_nrm",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(F.sequence(F.lit(1), F.col("nb")), flip),
+            )
+        ).alias("p_bucket"),
+    )
+    pairs = probes.join(
+        eb,
+        (F.col("p_bucket") == F.col("bucket")) & (F.col("vec_a") < F.col("vec_id")),
+    )
+    cos = _dot(F.col("a_emb"), F.col("emb")) / (F.col("a_nrm") * F.col("nrm"))
+    return (
+        pairs.select(
+            "vec_a", F.col("vec_id").alias("vec_b"), cos.alias("cos")
+        )
+        .filter(F.col("cos") >= NEARDUP_COS)
+        .select(
+            "vec_a", "vec_b", F.floor(F.col("cos") * 1_000_000).cast("long").alias("cos_e6")
+        )
+    )
+
+
+Q_EMB_NEARDUP_SCALED_SQL = (
+    _SCALED_CTE
+    + ", probes AS (SELECT vec_id AS vec_a, emb AS a_emb, nrm AS a_nrm, bucket FROM b "
+    "UNION ALL "
+    "SELECT vec_id AS vec_a, emb AS a_emb, nrm AS a_nrm, "
+    "bucket + CAST((1 - 2 * (CASE WHEN emb[i] > 0 THEN 1 ELSE 0 END)) AS BIGINT) "
+    "* CAST(pow(2, (SELECT nb FROM nbv) - i) AS BIGINT) AS bucket "
+    "FROM b, (SELECT unnest(generate_series(1, (SELECT nb FROM nbv))) AS i) s), "
+    "p AS (SELECT pr.vec_a, v.vec_id AS vec_b, "
+    + _DOT_SQL.format(a="pr.a_emb", b="v.emb")
+    + " / (pr.a_nrm * v.nrm) AS cos FROM probes pr JOIN b v "
+    "ON v.bucket = pr.bucket AND pr.vec_a < v.vec_id) "
+    "SELECT vec_a, vec_b, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6 "
+    f"FROM p WHERE cos >= {NEARDUP_COS}"
+)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the bucketed (approximate) search against the brute
     baseline — the evaluation harness an ANN scale path needs."""
@@ -221,12 +464,18 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_recall_eval": q_ann_recall,
     "ann_bucketed_topk": q_ann_bucketed_topk,
+    "ann_scaled_topk": q_ann_scaled_topk,
+    "ann_recall_scaled": q_ann_recall_scaled,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_scaled": q_embedding_neardup_scaled,
 }
 
 ORACLES = {
     "ann_brute_topk": Q_ANN_BRUTE_SQL,
     "ann_recall_eval": Q_ANN_RECALL_SQL,
     "ann_bucketed_topk": Q_ANN_BUCKETED_SQL,
+    "ann_scaled_topk": Q_ANN_SCALED_SQL,
+    "ann_recall_scaled": Q_ANN_RECALL_SCALED_SQL,
     "embedding_neardup": Q_EMB_NEARDUP_SQL,
+    "embedding_neardup_scaled": Q_EMB_NEARDUP_SCALED_SQL,
 }

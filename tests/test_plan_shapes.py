@@ -1,0 +1,62 @@
+"""Physical-plan regression guards: the scale-killing shapes the round-1
+verdict flagged must never reappear.  Each assertion pins the *plan*, not
+the result — results are covered by the oracle suite; these tests fail if
+someone reintroduces a cartesian/nested-loop join or an unbounded window.
+"""
+
+import pytest
+
+from crumble_spark.pipeline import dedup, relational, simsearch
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_simhash_pairs_is_banded_equi_join_not_cartesian(spark):
+    plan = _plan(dedup.q_dedup_simhash(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_lsh_verified_has_no_nested_loop_join(spark):
+    plan = _plan(dedup.q_dedup_lsh_verified(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_jaccard_has_no_nested_loop_join(spark):
+    plan = _plan(dedup.q_dedup_jaccard(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_top_users_uses_take_ordered_not_global_window(spark):
+    plan = _plan(relational.q_events_top_users(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_scaled_is_equi_join(spark):
+    # the 1-row nb scalar broadcast legitimately compiles to a nested-loop
+    # join (it has no key); the *candidate* join must be a hash equi-join
+    # on the bucket value — that's the part that touches the corpus
+    plan = _plan(simsearch.q_ann_scaled_topk(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    hash_join_lines = [
+        ln for ln in plan.splitlines()
+        if ("BroadcastHashJoin" in ln or "SortMergeJoin" in ln or "ShuffledHashJoin" in ln)
+    ]
+    assert any("bucket" in ln for ln in hash_join_lines), plan[:2000]
+
+
+def test_encode_scan_prunes_and_pushes(spark):
+    # the flagship encode path must push the column prune to parquet:
+    # reading documents for tokenization needs only doc_id/text/source
+    from crumble_spark.pipeline import tokenize
+
+    plan = _plan(tokenize.tokens_table(spark, SF_DIR))
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "text" in read_schema and "ts" not in read_schema

@@ -53,16 +53,30 @@ def run_encode_job(
     run_id: str | None = None,
     cfg: EncodeConfig | None = None,
     resume: bool = True,
+    sink: str = "parquet",
 ) -> dict:
     """Encode `df` into {out_dir}/encoded (partitioned by split_id) with
-    lineage rows in {out_dir}/lineage. Returns run summary."""
+    lineage rows in {out_dir}/lineage. Returns run summary.
+
+    sink="iceberg" treats out_dir as a catalog table name and writes via
+    sinks.write_encoded_iceberg (needs the Iceberg runtime; see README)."""
+    from . import sinks
+
     cfg = cfg or EncodeConfig()
     run_id = run_id or uuid.uuid4().hex[:12]
     enc_dir = f"{out_dir}/encoded"
     lin_dir = f"{out_dir}/lineage"
 
+    if sink == "iceberg":
+        lin_dir = f"{out_dir}_lineage"
+
+    def read_lineage():
+        if sink == "iceberg":
+            return spark.read.table(lin_dir)
+        return spark.read.parquet(lin_dir)
+
     df = with_split_id(df, cfg.n_splits)
-    done = lineage.completed_splits(spark, lin_dir) if resume else None
+    done = lineage.completed_splits(spark, lin_dir, reader=read_lineage) if resume else None
     todo = lineage.filter_resume(df, done)
 
     enc = encode_df_skewaware(
@@ -70,17 +84,22 @@ def run_encode_job(
         giant_threshold=cfg.giant_threshold,
     )
 
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    enc.write.partitionBy("split_id").mode("overwrite").parquet(enc_dir)
-
-    enc_written = spark.read.parquet(enc_dir)
+    if sink == "iceberg":
+        sinks.write_encoded_iceberg(enc, out_dir, run_id)
+        enc_written = spark.read.table(out_dir)
+    else:
+        sinks.write_encoded_parquet(enc, enc_dir)
+        enc_written = spark.read.parquet(enc_dir)
     if done is not None:
         enc_written = enc_written.join(F.broadcast(done), "split_id", "left_anti")
     lin = lineage.lineage_from_encoded(enc_written, run_id)
-    lin.write.mode("append").parquet(lin_dir)
+    if sink == "iceberg":
+        sinks.append_lineage_iceberg(lin, lin_dir)
+    else:
+        lin.write.mode("append").parquet(lin_dir)
 
     summary = (
-        spark.read.parquet(lin_dir)
+        read_lineage()
         .agg(
             F.countDistinct("split_id").alias("splits"),
             F.sum("n_rows").alias("rows"),
@@ -104,6 +123,13 @@ def main() -> None:
     ap.add_argument("--block-size", type=int, default=None)
     ap.add_argument("--n-splits", type=int, default=None)
     ap.add_argument("--preset", type=int, default=5, choices=sorted(PRESETS))
+    ap.add_argument(
+        "--format",
+        choices=("parquet", "iceberg"),
+        default="parquet",
+        help="sink: parquet dir (default) or an Iceberg table name "
+        "(requires the Iceberg Spark runtime; see README)",
+    )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
         "--direct",
@@ -130,7 +156,12 @@ def main() -> None:
         print(lin.groupBy("status").count().collect())
     else:
         df = spark.read.parquet(args.input)
-        print(run_encode_job(spark, df, args.output, cfg=cfg, resume=not args.no_resume))
+        print(
+            run_encode_job(
+                spark, df, args.output, cfg=cfg, resume=not args.no_resume,
+                sink=args.format,
+            )
+        )
 
 
 if __name__ == "__main__":

@@ -48,11 +48,14 @@ def lineage_from_encoded(enc: DataFrame, run_id: str) -> DataFrame:
     )
 
 
-def completed_splits(spark: SparkSession, lineage_dir: str) -> DataFrame | None:
+def completed_splits(
+    spark: SparkSession, lineage_dir: str, reader=None
+) -> DataFrame | None:
     """Splits already finished by any prior run (encoding is deterministic,
-    so any done split is valid regardless of which run produced it)."""
+    so any done split is valid regardless of which run produced it).
+    `reader` overrides how the lineage table is loaded (Iceberg sinks)."""
     try:
-        lin = spark.read.parquet(lineage_dir)
+        lin = reader() if reader is not None else spark.read.parquet(lineage_dir)
     except Exception:
         return None
     return lin.filter(F.col("status") == "done").select("split_id").distinct()

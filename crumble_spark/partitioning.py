@@ -36,6 +36,33 @@ from .encode import BLOCK_OVERHEAD, encode_df, with_split_id
 from .schema import BLOCK_SCHEMA, ENCODED_SCHEMA
 
 GIANT_ROW_TOKENS = 262_144  # rows longer than this take the block-parallel path
+GIANT_FLOOR_TOKENS = 32_768  # adaptive threshold never drops below this
+GIANT_TAIL_QUANTILE = 0.999
+GIANT_TAIL_FACTOR = 8
+
+
+def derive_giant_threshold(
+    df: DataFrame,
+    floor: int = GIANT_FLOOR_TOKENS,
+    cap: int = GIANT_ROW_TOKENS,
+    quantile: float = GIANT_TAIL_QUANTILE,
+    factor: int = GIANT_TAIL_FACTOR,
+) -> int:
+    """Data-derived giant-row threshold (crumble's decayed running depth
+    average made a pre-pass, snp_score.c:1671-1687): clamp(p99.9(n_tok) *
+    factor) between floor and cap.
+
+    A tight length distribution keeps the high static cap (nothing gains
+    from the block-parallel detour); a heavy-tailed source pulls the
+    threshold down so its tail rows are split across tasks instead of
+    pinning stragglers.  One percentile_approx aggregate — a single scan
+    with partial aggregation, 1-row result, negligible against the encode.
+    """
+    row = df.agg(
+        F.percentile_approx("n_tok", quantile).alias("p")
+    ).collect()[0]
+    p = int(row["p"] or 0)
+    return int(min(cap, max(floor, p * factor)))
 
 _CHUNK_SCHEMA = T.StructType(
     [
@@ -134,7 +161,7 @@ def encode_df_skewaware(
     df: DataFrame,
     block_size: int = DEFAULT_BLOCK_SIZE,
     n_splits: int = 256,
-    giant_threshold: int = GIANT_ROW_TOKENS,
+    giant_threshold: int | str = GIANT_ROW_TOKENS,
     repartition: bool = False,
     n_parts: int | None = None,
 ) -> DataFrame:
@@ -148,7 +175,12 @@ def encode_df_skewaware(
     salted shuffle for pathological layouts (one hot unsplittable file,
     severely clustered doc sizes); the giant-row path and AQE cover the
     rest.
+
+    giant_threshold="auto" derives the threshold from the input's own
+    length distribution (derive_giant_threshold).
     """
+    if giant_threshold == "auto":
+        giant_threshold = derive_giant_threshold(df)
     df = with_split_id(df, n_splits)
     small = df.filter(F.col("n_tok") <= giant_threshold)
     if repartition:

@@ -17,6 +17,22 @@ from .tokenize import documents
 STOP_EN = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "data")
 MARKER_QUERY = ("join", "hash", "scan", "filter", "merge", "query", "index")
 
+# per-language frequency profiles: the highest-frequency function words of
+# each language (public-knowledge stopword lists).  The operator is the
+# real langid shape — per-profile hit ratio over the doc's words, argmax
+# with a deterministic tie-break — with profiles swappable per deployment.
+LANG_PROFILES = {
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "den", "ein",
+           "eine", "nicht", "sich", "auf", "für", "auch", "werden", "dem", "zu"),
+    "en": ("the", "of", "and", "to", "in", "is", "it", "for", "on", "with",
+           "as", "at", "by", "that", "this", "was", "are", "be"),
+    "es": ("el", "los", "las", "de", "y", "en", "que", "un", "una", "es",
+           "del", "por", "con", "para", "no", "se", "su", "más"),
+    "fr": ("le", "les", "des", "du", "et", "est", "dans", "pour", "sur",
+           "une", "pas", "qui", "au", "plus", "ce", "vous", "ne", "je"),
+}
+LANG_MIN_SCORE = 0.02  # below this, predict "unk"
+
 
 def _stop_ratio(ws, stoplist):
     hits = F.size(F.filter(ws, lambda w: w.isin(*stoplist)))
@@ -109,6 +125,49 @@ def _q_langid_sql() -> str:
     )
 
 
+def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language ID over per-language frequency profiles: score each
+    profile as the doc's hit ratio against that language's function words,
+    argmax with an alphabetical tie-break, 'unk' below LANG_MIN_SCORE.
+    Pure Catalyst (one pass over the words array per profile), so the
+    whole classifier is a projection — no shuffle, no UDF."""
+    d = documents(spark, sf_dir)
+    ws = shared.words(F.col("text"))
+    langs = sorted(LANG_PROFILES)
+    scores = {lang: _stop_ratio(ws, LANG_PROFILES[lang]) for lang in langs}
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    pick = F.lit("unk")
+    for lang in reversed(langs):  # alphabetical-first wins ties
+        pick = F.when(scores[lang] == mx, F.lit(lang)).otherwise(pick)
+    pred = F.when(mx < LANG_MIN_SCORE, F.lit("unk")).otherwise(pick)
+    cols = [
+        F.floor(scores[lang] * 1_000_000).cast("long").alias(f"{lang}_score_e6")
+        for lang in langs
+    ]
+    return d.select("doc_id", *cols, pred.alias("lang_pred"))
+
+
+def _q_langid_profiles_sql() -> str:
+    ws = shared.WORDS_SQL.format(c="text")
+    langs = sorted(LANG_PROFILES)
+    ratios = ", ".join(
+        f"{_stop_ratio_sql('ws', LANG_PROFILES[lang])} AS {lang}" for lang in langs
+    )
+    mx = "greatest(" + ", ".join(langs) + ")"
+    tie = " ".join(f"WHEN {lang} = mx THEN '{lang}'" for lang in langs)
+    score_cols = ", ".join(
+        f"CAST(floor({lang} * 1000000) AS BIGINT) AS {lang}_score_e6" for lang in langs
+    )
+    return (
+        f"WITH w AS (SELECT doc_id, {ws} AS ws FROM documents), "
+        f"s AS (SELECT doc_id, {ratios} FROM w), "
+        f"m AS (SELECT *, {mx} AS mx FROM s) "
+        f"SELECT doc_id, {score_cols}, "
+        f"CASE WHEN mx < {LANG_MIN_SCORE} THEN 'unk' {tie} ELSE 'unk' END AS lang_pred "
+        "FROM m"
+    )
+
+
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate (ceil(len/4) per
     word — a fixed-fanout stand-in for a merge-table tokenizer)."""
@@ -163,6 +222,7 @@ def _q_fingerprint_sql() -> str:
 QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_langid,
+    "text_langid_profiles": q_langid_profiles,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
 }
@@ -170,6 +230,7 @@ QUERIES = {
 ORACLES = {
     "text_quality": _q_text_quality_sql(),
     "text_langid": _q_langid_sql(),
+    "text_langid_profiles": _q_langid_profiles_sql(),
     "text_token_count": _q_token_count_sql(),
     "text_fingerprint": _q_fingerprint_sql(),
 }

@@ -118,6 +118,47 @@ def q_compression_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable projection of the compression rollup: doc,
+    token and input-byte accounting per source, read FROM THE ENCODER'S
+    OUTPUT — the oracle recomputes the same from raw text, so any row the
+    encoder drops, duplicates or mis-sizes shows up as a mismatch.  Only
+    bytes_out/ratio (codec-dependent) stay engine-internal."""
+    enc = encode_df(tokens_table(spark, sf_dir), block_size=BLOCK)
+    return enc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_tok").cast("long")).alias("n_tokens"),
+        F.sum("bytes_in").alias("bytes_in"),
+    )
+
+
+Q_SOURCE_PROFILE_SQL = (
+    TOK_CTE
+    + " SELECT source, count(*) AS n_docs, "
+    "CAST(sum(len(tokens)) AS BIGINT) AS n_tokens, "
+    "CAST(sum(len(tokens)) * 4 AS BIGINT) AS bytes_in "
+    "FROM tok GROUP BY source"
+)
+
+
+def q_block_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-count conservation per source: the encoder's emitted block
+    count must equal ceil(n_tok / block_size) summed over docs — derivable
+    from the input, so the chunker itself is oracle-checked."""
+    enc = encode_df(tokens_table(spark, sf_dir), block_size=BLOCK)
+    return enc.groupBy("source").agg(
+        F.sum(F.size("blocks").cast("long")).alias("n_blocks")
+    )
+
+
+Q_BLOCK_COUNT_SQL = (
+    TOK_CTE
+    + " SELECT source, CAST(sum(ceil(len(tokens) * 1.0 / "
+    + str(BLOCK)
+    + ")) AS BIGINT) AS n_blocks FROM tok GROUP BY source"
+)
+
+
 def q_codec_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Which codecs the cost model picked (crumble's exit counters V2)."""
     enc = encode_df(tokens_table(spark, sf_dir), block_size=BLOCK)
@@ -195,6 +236,8 @@ QUERIES = {
     "engine_roundtrip_lineitem": q_roundtrip_lineitem,
     "engine_validate_contract": q_validate_contract,
     "engine_block_stats": q_block_stats,
+    "engine_source_profile": q_source_profile,
+    "engine_block_count": q_block_count,
     "engine_compression_by_source": q_compression_by_source,
     "engine_codec_histogram": q_codec_histogram,
 }
@@ -204,5 +247,8 @@ ORACLES = {
     "engine_roundtrip_lineitem": Q_ROUNDTRIP_LINEITEM_SQL,
     "engine_validate_contract": Q_VALIDATE_SQL,
     "engine_block_stats": Q_BLOCK_STATS_SQL,
-    # compression/codec histogram are engine-internal: rows-only checks
+    "engine_source_profile": Q_SOURCE_PROFILE_SQL,
+    "engine_block_count": Q_BLOCK_COUNT_SQL,
+    # bytes_out/ratio and the codec histogram are engine-internal (codec
+    # output is not SQL-expressible): rows-only checks by design
 }

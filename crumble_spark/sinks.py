@@ -1,0 +1,114 @@
+"""Encoded-table sinks: parquet (this sandbox) and Iceberg (cluster).
+
+Both sinks give idempotent per-split re-writes — the property resume
+depends on: a retried/resumed split replaces exactly its own rows.
+
+* parquet: dynamic partition overwrite on split_id directories.
+* iceberg: `overwritePartitions()` on a split_id-partitioned table, with
+  run provenance stamped into the snapshot summary via the public
+  `snapshot-property.*` write option — the analogue of crumble writing a
+  @PG line with its full command into the output header
+  (snp_score.c:2588-2609): every output carries how it was produced.
+
+The Iceberg Spark runtime is not on this sandbox's classpath, so the
+iceberg path raises a clear error here; its plumbing is injection-tested
+(test_sinks.py) and the spark-submit line is in the README.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_encoded_parquet(enc: DataFrame, enc_dir: str) -> None:
+    spark = enc.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    enc.write.partitionBy("split_id").mode("overwrite").parquet(enc_dir)
+
+
+def write_encoded_iceberg(
+    enc: DataFrame,
+    table: str,
+    run_id: str,
+    writer_factory=None,
+) -> None:
+    """Write the encoded table to an Iceberg table, idempotently per split.
+
+    `overwritePartitions` replaces exactly the split_id partitions present
+    in `enc` (Iceberg's dynamic overwrite) — re-running a failed range is
+    a pure replacement, and every snapshot's summary records the run_id
+    and engine version (queryable via the table's `.snapshots` metadata).
+
+    writer_factory(df) -> DataFrameWriterV2 is injectable so the control
+    flow is unit-testable without the Iceberg runtime on the classpath.
+    """
+    factory = writer_factory or (lambda df: df.writeTo(table))
+    w = (
+        factory(enc)
+        .option("snapshot-property.crumble.run_id", run_id)
+        .option("snapshot-property.crumble.engine", "crumble_spark")
+    )
+    try:
+        w.overwritePartitions()
+    except Exception as e:
+        if _is_missing_table(e):
+            # first run: create the table partitioned by split_id so every
+            # later overwritePartitions stays split-scoped
+            try:
+                (
+                    factory(enc)
+                    .using("iceberg")
+                    .partitionedBy(F.col("split_id"))
+                    .option("snapshot-property.crumble.run_id", run_id)
+                    .option("snapshot-property.crumble.engine", "crumble_spark")
+                    .create()
+                )
+            except Exception as e2:
+                if _is_missing_runtime(e2):
+                    _raise_runtime_hint(e2)
+                raise
+        elif _is_missing_runtime(e):
+            _raise_runtime_hint(e)
+        else:
+            raise
+
+
+def _raise_runtime_hint(e: Exception) -> None:
+    raise RuntimeError(
+        "Iceberg catalog/runtime not configured on this Spark session; launch "
+        "with --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
+        "and a spark.sql.catalog.<name> config (see README 'Iceberg sink')"
+    ) from e
+
+
+def append_lineage_iceberg(lin: DataFrame, table: str, writer_factory=None) -> None:
+    """Append lineage rows to `{table}` (created on first use).  Appends
+    are snapshot-isolated in Iceberg, so concurrent runs interleave
+    safely — the resume anti-join reads a consistent snapshot."""
+    factory = writer_factory or (lambda df: df.writeTo(table))
+    try:
+        factory(lin).append()
+    except Exception as e:
+        if _is_missing_table(e):
+            factory(lin).using("iceberg").create()
+        else:
+            raise
+
+
+def _is_missing_table(e: Exception) -> bool:
+    s = str(e)
+    return "TABLE_OR_VIEW_NOT_FOUND" in s or "NoSuchTableException" in s
+
+
+def _is_missing_runtime(e: Exception) -> bool:
+    s = str(e)
+    return (
+        "CATALOG_NOT_FOUND" in s
+        or "ClassNotFoundException" in s
+        or "Cannot find catalog plugin" in s
+        or "DATA_SOURCE_NOT_FOUND" in s
+        # an unregistered catalog name falls through to spark_catalog,
+        # which then rejects the multi-part namespace — same root cause
+        or "REQUIRES_SINGLE_PART_NAMESPACE" in s
+    )

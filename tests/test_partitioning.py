@@ -7,7 +7,13 @@ from pyspark.sql import functions as F
 from crumble_spark import synth
 from crumble_spark.decode import decode_df
 from crumble_spark.encode import encode_df, with_split_id
-from crumble_spark.partitioning import encode_df_skewaware, salted_repartition
+from crumble_spark.partitioning import (
+    GIANT_FLOOR_TOKENS,
+    GIANT_ROW_TOKENS,
+    derive_giant_threshold,
+    encode_df_skewaware,
+    salted_repartition,
+)
 
 
 def _tokens_row(doc_id, n, seed, source="web"):
@@ -48,6 +54,37 @@ def test_giant_path_matches_fused_path_exactly(spark):
     a = {r["doc_id"]: (r["row_hash"], r["bytes_out"], r["nb"]) for r in fused.collect()}
     b = {r["doc_id"]: (r["row_hash"], r["bytes_out"], r["nb"]) for r in giant.collect()}
     assert a == b
+
+
+def test_adaptive_threshold_lowers_for_skewed_source(spark):
+    # 300 short docs + a handful of monsters: p99.9*8 lands well under the
+    # static cap, so the skewed source auto-selects a lower threshold and
+    # the monsters route to the block-parallel path
+    rows = [(f"s-{i}", [1, 2, 3] * 100, 300, "web") for i in range(5000)]
+    rows += [_tokens_row(f"m-{i}", 400_000, 50 + i) for i in range(3)]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    thr = derive_giant_threshold(df)
+    assert thr < GIANT_ROW_TOKENS
+    assert thr >= GIANT_FLOOR_TOKENS
+    # and the auto path still round-trips bit-identically
+    enc = encode_df_skewaware(df, block_size=1024, n_splits=8, giant_threshold="auto")
+    dec = decode_df(enc, verify=True)
+    got = {r["doc_id"]: list(r["tokens"]) for r in dec.collect()}
+    want = {r[0]: list(r[1]) for r in rows}
+    assert got == want
+
+
+def test_adaptive_threshold_keeps_cap_for_uniform_long_docs(spark):
+    # uniformly long docs: p99.9*8 exceeds the cap → stays at the static
+    # maximum (no pointless block-parallel detour for every row)
+    rows = [(f"u-{i}", None, 60_000, "web") for i in range(50)]
+    df = spark.createDataFrame(
+        [(d, [1], n, s) for d, _, n, s in rows],
+        schema="doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    assert derive_giant_threshold(df) == GIANT_ROW_TOKENS
 
 
 def test_giant_hash_reassembly_survives_int64_wrap(spark):

@@ -1,0 +1,109 @@
+"""Iceberg sink plumbing, injection-tested (the runtime isn't on this
+sandbox's classpath): overwritePartitions for idempotent split re-writes,
+create-on-first-run with split_id partitioning, snapshot-summary
+provenance, and a clear error when the runtime is absent."""
+
+import pytest
+
+from crumble_spark import sinks
+
+
+class FakeWriter:
+    """Records the DataFrameWriterV2 call chain."""
+
+    def __init__(self, log, fail_overwrite=None, fail_append=None):
+        self.log = log
+        self._fail_overwrite = fail_overwrite
+        self._fail_append = fail_append
+
+    def option(self, k, v):
+        self.log.append(("option", k, v))
+        return self
+
+    def using(self, fmt):
+        self.log.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, col):
+        self.log.append(("partitionedBy", str(col)))
+        return self
+
+    def overwritePartitions(self):
+        if self._fail_overwrite:
+            raise self._fail_overwrite
+        self.log.append(("overwritePartitions",))
+
+    def append(self):
+        if self._fail_append:
+            raise self._fail_append
+        self.log.append(("append",))
+
+    def create(self):
+        self.log.append(("create",))
+
+
+def test_iceberg_write_overwrites_partitions_with_provenance():
+    log = []
+    sinks.write_encoded_iceberg(
+        enc=object(), table="lake.enc", run_id="r42",
+        writer_factory=lambda df: FakeWriter(log),
+    )
+    assert ("overwritePartitions",) in log
+    assert ("option", "snapshot-property.crumble.run_id", "r42") in log
+    assert ("option", "snapshot-property.crumble.engine", "crumble_spark") in log
+
+
+def test_iceberg_write_creates_partitioned_table_on_first_run(spark):
+    # spark fixture: the create path builds a Column for partitionedBy()
+    log = []
+    calls = {"n": 0}
+
+    def factory(df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return FakeWriter(log, fail_overwrite=Exception("TABLE_OR_VIEW_NOT_FOUND"))
+        return FakeWriter(log)
+
+    sinks.write_encoded_iceberg(object(), "lake.enc", "r1", writer_factory=factory)
+    assert ("create",) in log
+    assert ("using", "iceberg") in log
+    assert any(op == "partitionedBy" and "split_id" in arg for op, *rest in log for arg in rest)
+
+
+def test_iceberg_write_names_the_missing_runtime():
+    with pytest.raises(RuntimeError, match="Iceberg catalog/runtime"):
+        sinks.write_encoded_iceberg(
+            object(), "lake.enc", "r1",
+            writer_factory=lambda df: FakeWriter(
+                [], fail_overwrite=Exception("Cannot find catalog plugin for lake")
+            ),
+        )
+
+
+def test_iceberg_write_reraises_unrelated_failures():
+    with pytest.raises(Exception, match="quota exceeded"):
+        sinks.write_encoded_iceberg(
+            object(), "lake.enc", "r1",
+            writer_factory=lambda df: FakeWriter(
+                [], fail_overwrite=Exception("quota exceeded")
+            ),
+        )
+
+
+def test_lineage_append_creates_then_appends():
+    log = []
+    calls = {"n": 0}
+
+    def factory(df):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return FakeWriter(log, fail_append=Exception("NoSuchTableException"))
+        return FakeWriter(log)
+
+    sinks.append_lineage_iceberg(object(), "lake.enc_lineage", writer_factory=factory)
+    assert ("create",) in log
+    log2 = []
+    sinks.append_lineage_iceberg(
+        object(), "lake.enc_lineage", writer_factory=lambda df: FakeWriter(log2)
+    )
+    assert ("append",) in log2

@@ -41,6 +41,10 @@ def pack(values: np.ndarray, width: int) -> bytes:
     # scaling bottleneck when many cores encode concurrently
     nb = (width + 7) // 8
     lo = v.view(np.uint8).reshape(-1, nbytes)[:, :nb]
+    if width == nb * 8:
+        # byte-aligned widths (8/16/24/32): the sliced little-endian bytes
+        # ARE the bitstream — skip the unpack/pack round trip entirely
+        return lo.tobytes()
     bits = np.unpackbits(lo, axis=1, bitorder="little")
     return np.packbits(bits[:, :width].ravel(), bitorder="little").tobytes()
 

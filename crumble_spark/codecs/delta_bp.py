@@ -22,7 +22,13 @@ def encode(arr: np.ndarray) -> bytes:
     a = np.asarray(arr, dtype=np.int64)
     zz = bitpack.zigzag(np.diff(a))
     width = bitpack.width_for(int(zz.max())) if len(zz) else 0
-    return _HDR.pack(int(a[0]), width) + bitpack.pack(zz, width)
+    return encode_pre(int(a[0]), zz, width)
+
+
+def encode_pre(first: int, zz: np.ndarray, width: int) -> bytes:
+    """encode() with the zigzag stream precomputed (batch path) — MUST
+    stay byte-identical to encode()."""
+    return _HDR.pack(first, width) + bitpack.pack(zz, width)
 
 
 def decode(buf: bytes, n: int) -> np.ndarray:

@@ -22,7 +22,15 @@ def encode(arr: np.ndarray) -> bytes:
     a = np.asarray(arr, dtype=np.int64)
     vmin = int(a.min())
     width = bitpack.width_for(int(a.max()) - vmin)
-    return _HDR.pack(vmin, width) + bitpack.pack(a - vmin, width)
+    return encode_pre(a, vmin, width)
+
+
+def encode_pre(a: np.ndarray, vmin: int, width: int) -> bytes:
+    """encode() with precomputed stats (batch path) — MUST stay
+    byte-identical to encode()."""
+    return _HDR.pack(vmin, width) + bitpack.pack(
+        np.asarray(a, dtype=np.int64) - vmin, width
+    )
 
 
 def decode(buf: bytes, n: int) -> np.ndarray:

@@ -35,10 +35,18 @@ def encode(arr: np.ndarray) -> bytes:
     vmin = int(values.min())
     vwidth = bitpack.width_for(int(values.max()) - vmin)
     lwidth = bitpack.width_for(int(lengths.max()) - 1)
+    return encode_pre(values, lengths, vmin, vwidth, lwidth)
+
+
+def encode_pre(
+    values: np.ndarray, lengths: np.ndarray, vmin: int, vwidth: int, lwidth: int
+) -> bytes:
+    """encode() with precomputed run structure (batch path) — MUST stay
+    byte-identical to encode()."""
     return (
         _HDR.pack(len(values), vmin, vwidth, lwidth)
-        + bitpack.pack(values - vmin, vwidth)
-        + bitpack.pack(lengths - 1, lwidth)
+        + bitpack.pack(np.asarray(values, dtype=np.int64) - vmin, vwidth)
+        + bitpack.pack(np.asarray(lengths, dtype=np.int64) - 1, lwidth)
     )
 
 

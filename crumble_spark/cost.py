@@ -44,8 +44,8 @@ def candidate_sizes(st: stats.BlockStats) -> dict[int, int]:
     sizes[codecs.DELTA_BP] = delta.size(st.n, st.max_zigzag)
     dict_lower_bound = dictionary.full_size(2, st.n)
     if dict_lower_bound < min(sizes.values()):
-        _, _, dsz = dictionary.plan(st.counts_desc, st.n)
-        sizes[codecs.DICT] = dsz
+        st._dict_plan = dictionary.plan(st.counts_desc, st.n)
+        sizes[codecs.DICT] = st._dict_plan[2]
     return sizes
 
 
@@ -67,7 +67,10 @@ def choose_with_stats(a: np.ndarray, st: stats.BlockStats) -> tuple[int, bytes]:
     best_size = sizes[best_id]
 
     if best_id == codecs.DICT:
-        payload = dictionary.encode(a, values=st.values, counts=st.counts)
+        k, use_escape, _ = st._dict_plan
+        payload = dictionary.encode(
+            a, k=k, use_escape=use_escape, values=st.values, counts=st.counts
+        )
     else:
         payload = codecs.encode(best_id, a)
     assert len(payload) == best_size, (best_id, len(payload), best_size)

@@ -103,6 +103,7 @@ def encode_flat(
         zzmax = np.maximum.reduceat(zz, starts_c)
         zzmax[blen < 2] = 0
     else:
+        zz = np.zeros(0, np.int64)
         zzmax = np.zeros(total, np.int64)
 
     sz_raw = 4 * blen
@@ -124,37 +125,86 @@ def encode_flat(
 
     rb_end = np.concatenate((rb[1:], [len(all_starts)]))
     from . import stats as stats_mod  # local import avoids a cycle
+    from .codecs import constant as constant_mod
+    from .codecs import delta_bp as delta_mod
+    from .codecs import for_bp as for_mod
+    from .codecs import rle as rle_mod
+
+    # interpreter-cost discipline: at small blocks the per-block Python
+    # work dominates, so (a) every per-block scalar is pre-converted to a
+    # plain int via one tolist() (numpy scalar indexing is ~10x slower),
+    # (b) cheap codecs are emitted through encode_pre() fed from the batch
+    # stats (no per-block min/max/run re-derivation — byte-identical by
+    # construction), (c) the block crc is taken from the bytes we already
+    # materialized for the payload/hash
+    cls = np.where(
+        force_raw[block_row],
+        0,
+        np.where(const_mask, 1, np.where(slow_mask, 3, cheap_ids + 4)),
+    ).tolist()
+    bstart_l = bstart.tolist()
+    blen_l = blen.tolist()
+    block_row_l = block_row.tolist()
+    block_id_l = block_id.tolist()
+    vmin_l = vmin.tolist()
+    w_for = _widths(vmax - vmin).tolist()
+    w_zz = _widths(zzmax).tolist()
+    rvmin_l = run_vmin.tolist()
+    w_rv = _widths(run_vmax - run_vmin).tolist()
+    w_rl = _widths(max_run - 1).tolist()
+    rb_l = rb.tolist()
+    rb_end_l = rb_end.tolist()
+    crc32 = hashing.zlib.crc32
+    MASK = (1 << 63) - 1
+    RAW, CONSTANT, RLE, DICT = codecs_mod.RAW, codecs_mod.CONSTANT, codecs_mod.RLE, codecs_mod.DICT
+    FOR_BP, DELTA_BP = codecs_mod.FOR_BP, codecs_mod.DELTA_BP
 
     for b in range(total):
-        row = int(block_row[b])
-        chunk = A[bstart[b] : bend[b]]
-        bid = int(block_id[b])
-        if force_raw[row]:
-            cid, payload = codecs_mod.RAW, codecs_mod.encode(codecs_mod.RAW, chunk)
-        elif const_mask[b]:
-            cid, payload = codecs_mod.CONSTANT, codecs_mod.encode(codecs_mod.CONSTANT, chunk)
-        elif not slow_mask[b]:
-            cid = int(cheap_ids[b])
-            payload = codecs_mod.encode(cid, chunk)
-            assert len(payload) == best_cheap[b], (cid, len(payload), best_cheap[b])
-        else:
+        row = block_row_l[b]
+        s = bstart_l[b]
+        n_b = blen_l[b]
+        e = s + n_b
+        chunk = A[s:e]
+        cb = chunk.tobytes()
+        bid = block_id_l[b]
+        c = cls[b]
+        if c == 4 + RAW or c == 0:  # cheap RAW / forced RAW
+            cid, payload = RAW, cb
+        elif c == 4 + FOR_BP:
+            cid = FOR_BP
+            payload = for_mod.encode_pre(chunk, vmin_l[b], w_for[b])
+        elif c == 4 + RLE:
+            cid = RLE
+            payload = rle_mod.encode_pre(
+                rvals[rb_l[b] : rb_end_l[b]],
+                seg_len[rb_l[b] : rb_end_l[b]],
+                rvmin_l[b],
+                w_rv[b],
+                w_rl[b],
+            )
+        elif c == 4 + DELTA_BP:
+            cid = DELTA_BP
+            payload = delta_mod.encode_pre(int(chunk[0]), zz[s : e - 1], w_zz[b])
+        elif c == 1:
+            cid, payload = CONSTANT, constant_mod.encode(chunk)
+        else:  # slow path: dict / fsst / tile candidates in play
             st = stats_mod.BlockStats(
-                n=int(blen[b]),
-                vmin=int(vmin[b]),
+                n=n_b,
+                vmin=vmin_l[b],
                 vmax=int(vmax[b]),
                 n_runs=int(n_runs[b]),
-                run_vrange=int(run_vmax[b] - run_vmin[b]),
+                run_vrange=int(run_vmax[b]) - rvmin_l[b],
                 max_run_len=int(max_run[b]),
                 max_zigzag=int(zzmax[b]),
-                _rvals=rvals[rb[b] : rb_end[b]],
-                _lengths=seg_len[rb[b] : rb_end[b]],
+                _rvals=rvals[rb_l[b] : rb_end_l[b]],
+                _lengths=seg_len[rb_l[b] : rb_end_l[b]],
             )
             cid, payload = cost.choose_with_stats(chunk, st)
         blocks_per_row[row].append(
-            {"block_id": bid, "codec_id": cid, "n": int(blen[b]), "payload": payload}
+            {"block_id": bid, "codec_id": cid, "n": n_b, "payload": payload}
         )
         bytes_out[row] += len(payload) + BLOCK_OVERHEAD
-        row_hash[row] = (row_hash[row] + hashing.block_hash(bid, chunk)) & ((1 << 63) - 1)
+        row_hash[row] = (row_hash[row] + (bid + 1) * crc32(cb)) & MASK
     return blocks_per_row, bytes_out, row_hash
 
 

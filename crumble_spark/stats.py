@@ -36,6 +36,9 @@ class BlockStats:
     _lengths: np.ndarray  # run lengths, aligned with _rvals
     _values: np.ndarray | None = None
     _counts: np.ndarray | None = None
+    # (k, use_escape, size) memo from candidate sizing, so the winning
+    # dictionary encode doesn't re-derive the same plan (cost.py fills it)
+    _dict_plan: tuple[int, bool, int] | None = None
 
     def _materialize_counts(self) -> None:
         """Cardinality/counts are the one expensive stat (a sort) — only
@@ -53,9 +56,14 @@ class BlockStats:
             self._values = (nz + self.vmin).astype(np.int64)
             self._counts = cnt[nz].astype(np.int64)
         else:
-            values, inv = np.unique(rv, return_inverse=True)
-            self._values = values
-            self._counts = np.bincount(inv, weights=self._lengths).astype(np.int64)
+            # one stable argsort + segmented integer sum: same result as
+            # np.unique(return_inverse) + weighted bincount, without
+            # building the inverse array or round-tripping through float
+            order = np.argsort(rv, kind="stable")
+            srv = rv[order]
+            starts = np.concatenate(([0], np.flatnonzero(srv[1:] != srv[:-1]) + 1))
+            self._values = srv[starts]
+            self._counts = np.add.reduceat(self._lengths[order], starts)
 
     @property
     def values(self) -> np.ndarray:

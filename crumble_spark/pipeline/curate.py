@@ -1,0 +1,100 @@
+"""Corpus curation composite: the end-to-end cleaning manifest a
+training-data pipeline actually ships — quality gate AND language gate
+AND exact-dedup survivor, composed from the individually-oracled
+operators so the whole funnel is value-hash-checked.
+
+Mirrors the engine's own discipline (every stage independently verified,
+the composition verified again end-to-end — crumble verifies per record
+AND reports run totals, snp_score.c:2021-2026, 2650-2666).
+
+Scale shape: quality/langid are projections (no shuffle); the dedup drop
+list is usually tiny relative to the corpus → broadcast anti-join; the
+final join is on doc_id (the natural key both sides are derived from).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import textqc
+from .dedup import Q_DEDUP_EXACT_SQL, q_dedup_exact
+
+QUALITY_MIN_E6 = 500_000  # keep docs scoring >= 0.5
+KEEP_LANGS = ("en",)
+
+
+def q_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_ids that survive the full cleaning funnel, with their scores."""
+    quality = textqc.q_text_quality(spark, sf_dir).select("doc_id", "quality_e6")
+    lang = textqc.q_langid_profiles(spark, sf_dir).select("doc_id", "lang_pred")
+    drop = q_dedup_exact(spark, sf_dir).select("doc_id")
+    return (
+        quality.filter(F.col("quality_e6") >= QUALITY_MIN_E6)
+        .join(lang.filter(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id")
+        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .select("doc_id", "quality_e6", "lang_pred")
+    )
+
+
+def _q_clean_manifest_sql() -> str:
+    langs = ", ".join(f"'{x}'" for x in KEEP_LANGS)
+    return (
+        "WITH q AS (SELECT doc_id, quality_e6 FROM ("
+        + textqc._q_text_quality_sql()
+        + f") WHERE quality_e6 >= {QUALITY_MIN_E6}), "
+        "l AS (SELECT doc_id, lang_pred FROM ("
+        + textqc._q_langid_profiles_sql()
+        + f") WHERE lang_pred IN ({langs})), "
+        "d AS (SELECT doc_id FROM (" + Q_DEDUP_EXACT_SQL + ")) "
+        "SELECT q.doc_id, q.quality_e6, l.lang_pred FROM q "
+        "JOIN l ON l.doc_id = q.doc_id "
+        "WHERE q.doc_id NOT IN (SELECT doc_id FROM d)"
+    )
+
+
+def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts (the report a curation run emits:
+    how many docs each gate removed — crumble's end-of-run counters)."""
+    total = textqc.documents(spark, sf_dir).count()
+    quality = textqc.q_text_quality(spark, sf_dir).filter(
+        F.col("quality_e6") >= QUALITY_MIN_E6
+    )
+    lang = textqc.q_langid_profiles(spark, sf_dir).filter(
+        F.col("lang_pred").isin(*KEEP_LANGS)
+    )
+    kept = q_clean_manifest(spark, sf_dir)
+    rows = [
+        ("0_total", total),
+        ("1_quality", quality.count()),
+        ("2_lang", lang.count()),
+        ("3_clean", kept.count()),
+    ]
+    return spark.createDataFrame(rows, "stage string, n_docs long")
+
+
+def _q_clean_funnel_sql() -> str:
+    langs = ", ".join(f"'{x}'" for x in KEEP_LANGS)
+    return (
+        "SELECT '0_total' AS stage, count(*) AS n_docs FROM documents "
+        "UNION ALL SELECT '1_quality', count(*) FROM ("
+        + textqc._q_text_quality_sql()
+        + f") WHERE quality_e6 >= {QUALITY_MIN_E6} "
+        "UNION ALL SELECT '2_lang', count(*) FROM ("
+        + textqc._q_langid_profiles_sql()
+        + f") WHERE lang_pred IN ({langs}) "
+        "UNION ALL SELECT '3_clean', count(*) FROM ("
+        + _q_clean_manifest_sql()
+        + ")"
+    )
+
+
+QUERIES = {
+    "corpus_clean_manifest": q_clean_manifest,
+    "corpus_clean_funnel": q_clean_funnel,
+}
+
+ORACLES = {
+    "corpus_clean_manifest": _q_clean_manifest_sql(),
+    "corpus_clean_funnel": _q_clean_funnel_sql(),
+}

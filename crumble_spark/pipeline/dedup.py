@@ -352,6 +352,105 @@ Q_DEDUP_SIMHASH_SQL = (
 )
 
 
+# --- production-width simhash -------------------------------------------------
+
+SIMHASH64_BITS = 48  # production width (48 of 64 so the int64 stays positive)
+SIMHASH64_BANDS = 4  # 12-bit bands: 4096 keys/band; ham<=3 leaves >=1 intact
+SIMHASH64_HAM_MAX = 3
+
+
+def _simhash48_cols():
+    """(spark_sum_aggs, sql_sum_exprs, value builders) for the 48-bit sig."""
+    sums = [
+        F.sum(
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH64_BITS)
+    ]
+    val = None
+    for i in range(SIMHASH64_BITS):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        val = bit if val is None else val + bit
+    return sums, val.cast("long")
+
+
+def q_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the production-width 48-bit simhash, banded into
+    4 x 12-bit keys (4096 values per band — the short-key shuffle that
+    holds at 10^12 docs).  The 16-bit variant above keeps round-1 oracle
+    parity; this one is the width you would actually deploy.  Word hashes
+    are the full 48 bits of the md5 prefix (WORD_HASH48)."""
+    d = documents(spark, sf_dir)
+    w = d.select("doc_id", F.explode(shared.words(F.col("text"))).alias("w"))
+    h48 = (F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")).alias("h")
+    sums, val = _simhash48_cols()
+    sig = w.select("doc_id", h48).groupBy("doc_id").agg(*sums).select(
+        "doc_id", val.alias("simhash")
+    )
+    bits_per_band = SIMHASH64_BITS // SIMHASH64_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright("simhash", b * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
+                .alias("key"),
+            )
+            for b in range(SIMHASH64_BANDS)
+        ]
+    )
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH64_HAM_MAX)
+        .distinct()
+    )
+
+
+def _q_simhash48_sql() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(SIMHASH64_BITS)
+    )
+    val = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(SIMHASH64_BITS)
+    )
+    bits_per_band = SIMHASH64_BITS // SIMHASH64_BANDS
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * bits_per_band}) & {(1 << bits_per_band) - 1} AS key FROM sim"
+        for b in range(SIMHASH64_BANDS)
+    )
+    return (
+        "WITH wds AS (SELECT doc_id, unnest("
+        + shared.WORDS_SQL.format(c="text")
+        + ") AS w FROM documents), "
+        "h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM wds), "
+        f"agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id), "
+        f"sim AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM agg), "
+        f"bands AS ({band_rows}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH64_HAM_MAX}"
+    )
+
+
 # --- n-gram jaccard ----------------------------------------------------------
 
 def _capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,6 +571,7 @@ QUERIES = {
     "dedup_lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_simhash_sig": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash,
+    "dedup_simhash48_pairs": q_simhash48_pairs,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_lsh_verified": q_dedup_lsh_verified,
 }
@@ -484,5 +584,6 @@ ORACLES = {
     "dedup_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
     "dedup_simhash_sig": Q_SIMHASH_SQL,
     "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
+    "dedup_simhash48_pairs": _q_simhash48_sql(),
     "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
 }

@@ -428,6 +428,37 @@ Q_EMB_NEARDUP_SCALED_SQL = (
 )
 
 
+def q_bucket_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket centroid accumulators — the IVF training step of the
+    ANN scale path (bucket → sum/count per dimension; the caller divides).
+
+    Determinism contract: elements are floor-scaled to e6 integers BEFORE
+    summing, so the aggregation is order-free and bit-equal across
+    engines (a double sum would depend on shuffle order).  Scale shape:
+    posexplode → groupBy(bucket, pos) is map-side combinable and the
+    shuffle carries at most 2^16 buckets x 64 dims partial sums.
+    """
+    eb = _scaled_base(spark, sf_dir)
+    ex = eb.select(
+        "bucket",
+        F.posexplode("emb").alias("pos", "x"),
+    ).select("bucket", "pos", F.floor(F.col("x") * 1_000_000).cast("long").alias("xe"))
+    return ex.groupBy("bucket", "pos").agg(
+        F.count("*").alias("n_vecs"),
+        F.sum("xe").alias("sum_e6"),
+    ).select("bucket", F.col("pos").cast("int").alias("pos"), "n_vecs", "sum_e6")
+
+
+Q_BUCKET_CENTROIDS_SQL = (
+    _SCALED_CTE
+    + ", ex AS (SELECT bucket, i - 1 AS pos, "
+    "CAST(floor(emb[i] * 1000000) AS BIGINT) AS xe "
+    "FROM b, (SELECT unnest(generate_series(1, 64)) AS i) s) "
+    "SELECT bucket, CAST(pos AS INTEGER) AS pos, count(*) AS n_vecs, "
+    "CAST(sum(xe) AS BIGINT) AS sum_e6 FROM ex GROUP BY 1, 2"
+)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the bucketed (approximate) search against the brute
     baseline — the evaluation harness an ANN scale path needs."""
@@ -468,9 +499,11 @@ QUERIES = {
     "ann_recall_scaled": q_ann_recall_scaled,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_scaled": q_embedding_neardup_scaled,
+    "emb_bucket_centroids": q_bucket_centroids,
 }
 
 ORACLES = {
+    "emb_bucket_centroids": Q_BUCKET_CENTROIDS_SQL,
     "ann_brute_topk": Q_ANN_BRUTE_SQL,
     "ann_recall_eval": Q_ANN_RECALL_SQL,
     "ann_bucketed_topk": Q_ANN_BUCKETED_SQL,

@@ -6,7 +6,7 @@ different ROUND modes still compare bit-equal.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import shared
@@ -196,6 +196,39 @@ def _q_token_count_sql() -> str:
     )
 
 
+VOCAB_TOP_K = 50
+
+
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token frequency top-k (the vocabulary census every
+    training-data pipeline runs).  Plan: explode → map-side-combinable
+    groupBy(token) → orderBy().limit() = TakeOrderedAndProject, so the
+    full frequency table never converges on one task."""
+    d = documents(spark, sf_dir)
+    toks = shared.tokens_col(F.col("text"))
+    counts = (
+        d.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+    )
+    top = counts.orderBy(F.desc("freq"), F.asc("token")).limit(VOCAB_TOP_K)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "token", "freq", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def _q_vocab_topk_sql() -> str:
+    toks = shared.TOKENS_SQL.format(c="text")
+    return (
+        f"WITH t AS (SELECT unnest({toks}) AS token FROM documents), "
+        "c AS (SELECT token, count(*) AS freq FROM t GROUP BY token) "
+        "SELECT token, freq, CAST(row_number() OVER "
+        "(ORDER BY freq DESC, token ASC) AS INTEGER) AS rank "
+        f"FROM c ORDER BY freq DESC, token ASC LIMIT {VOCAB_TOP_K}"
+    )
+
+
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling polynomial hash over the token stream (order-sensitive doc
     fingerprint; crumble's whole-record checksum discipline analogue)."""
@@ -225,9 +258,11 @@ QUERIES = {
     "text_langid_profiles": q_langid_profiles,
     "text_token_count": q_token_count,
     "text_fingerprint": q_fingerprint,
+    "text_vocab_topk": q_vocab_topk,
 }
 
 ORACLES = {
+    "text_vocab_topk": _q_vocab_topk_sql(),
     "text_quality": _q_text_quality_sql(),
     "text_langid": _q_langid_sql(),
     "text_langid_profiles": _q_langid_profiles_sql(),

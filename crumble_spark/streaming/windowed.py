@@ -1,0 +1,76 @@
+"""Watermarked windowed aggregation over the events stream.
+
+The streaming twin of `pipeline.relational.q_events_hourly`: readStream →
+withWatermark → tumbling window groupBy.  The watermark bounds state (a
+window's partial aggregate is dropped once the event-time high-water mark
+passes window_end + delay), which is what lets this run forever at
+100 TB/day — without it the state store grows with every hour ever seen.
+
+Cents are floored per row before summing (integer sums are order-free, so
+the streaming result is bit-equal to the batch rollup — asserted in
+tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_rollup_stream(
+    spark: SparkSession,
+    in_dir: str,
+    watermark: str = "2 hours",
+    query_name: str = "events_hourly_stream",
+):
+    """Start the streaming rollup into an in-memory sink; returns the
+    StreamingQuery.  availableNow drains what exists and stops — the
+    incremental/cron mode; drop the trigger for continuous operation.
+
+    Output mode is `complete` so a bounded test input yields every
+    window; a production continuous run would use `append` (emit once
+    the watermark closes a window) into a real sink.
+    """
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    cents = F.floor(F.col("value") * 100).cast("long")
+    agg = (
+        stream.withWatermark("ts", watermark)
+        .select(F.col("ts"), F.col("event_type"), cents.alias("cents"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("value_cents"))
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "value_cents",
+        )
+    )
+    return (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(query_name)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def batch_rollup(spark: SparkSession, events: DataFrame) -> DataFrame:
+    """The bounded twin, for equivalence checks."""
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return (
+        events.select(F.window("ts", "1 hour").alias("w"), "event_type", cents.alias("cents"))
+        .groupBy(F.col("w.start").alias("hour_start"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("cents").alias("value_cents"))
+    )

@@ -1,10 +1,13 @@
 """Incremental ingestion: two arrival waves, exactly-once encoding via
-the streaming checkpoint, lineage rows per micro-batch."""
+the streaming checkpoint, lineage rows per micro-batch.  Plus the
+watermarked windowed rollup and the stateful cross-batch dedup."""
 
+import pandas as pd
 from pyspark.sql import functions as F
 
 from crumble_spark import synth
 from crumble_spark.decode import decode_df
+from crumble_spark.streaming import stateful, windowed
 from crumble_spark.streaming.ingest import encode_stream
 
 
@@ -41,3 +44,55 @@ def test_stream_encodes_arrivals_exactly_once(spark, tmp_path):
     runs = {r["run_id"] for r in lin.select("run_id").distinct().collect()}
     assert len(runs) == 2  # one micro-batch per wave
     assert lin.agg(F.sum("n_rows")).collect()[0][0] == 160
+
+
+def test_windowed_rollup_matches_batch(spark, tmp_path):
+    # the file stream source needs a directory; stage the events table
+    import shutil
+
+    ev_dir = str(tmp_path / "events_stream")
+    import os
+
+    os.makedirs(ev_dir)
+    shutil.copy("/root/testdata/sf0.001/events.parquet", f"{ev_dir}/part-0.parquet")
+    q = windowed.hourly_rollup_stream(spark, ev_dir, query_name="t_hourly")
+    q.awaitTermination()
+    got = spark.sql("SELECT * FROM t_hourly")
+    want = windowed.batch_rollup(spark, spark.read.parquet(ev_dir))
+    key = lambda df: {
+        (str(r["hour_start"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in df.collect()
+    }
+    assert key(got) == key(want)
+    assert got.count() > 0
+
+
+def test_stateful_dedup_across_batches(spark, tmp_path):
+    in_dir = str(tmp_path / "docs_in")
+    out = str(tmp_path / "dedup_out")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+        )
+
+    # wave 1: two distinct texts, one duplicated within the batch
+    docs([
+        (3, "alpha beta", "en", "web", 10),
+        (1, "alpha beta", "en", "web", 10),
+        (2, "gamma delta", "en", "web", 11),
+    ]).write.mode("append").parquet(in_dir)
+    stateful.dedup_stream(spark, in_dir, out)
+    uniq1 = {r["text_hash"]: r["doc_id"] for r in spark.read.parquet(f"{out}/unique").collect()}
+    assert len(uniq1) == 2
+    assert "1" in uniq1.values()  # smallest doc_id won within the batch
+
+    # wave 2: one repeat (must be suppressed by state) + one new text
+    docs([
+        (9, "alpha beta", "en", "web", 10),
+        (4, "epsilon zeta", "en", "web", 12),
+    ]).write.mode("append").parquet(in_dir)
+    stateful.dedup_stream(spark, in_dir, out)
+    uniq2 = spark.read.parquet(f"{out}/unique")
+    assert uniq2.count() == 3  # repeat suppressed across micro-batches
+    assert uniq2.filter("doc_id = '9'").count() == 0

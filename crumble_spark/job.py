@@ -88,7 +88,7 @@ def run_encode_job(
         sinks.write_encoded_iceberg(enc, out_dir, run_id)
         enc_written = spark.read.table(out_dir)
     else:
-        sinks.write_encoded_parquet(enc, enc_dir)
+        sinks.write_encoded_parquet(enc, enc_dir, n_splits=cfg.n_splits)
         enc_written = spark.read.parquet(enc_dir)
     if done is not None:
         enc_written = enc_written.join(F.broadcast(done), "split_id", "left_anti")

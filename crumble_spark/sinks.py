@@ -21,10 +21,40 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def write_encoded_parquet(enc: DataFrame, enc_dir: str) -> None:
+def write_encoded_parquet(enc: DataFrame, enc_dir: str, n_splits: int | None = None) -> None:
     spark = enc.sparkSession
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     enc.write.partitionBy("split_id").mode("overwrite").parquet(enc_dir)
+    if n_splits is not None:
+        write_store_meta(enc_dir, n_splits)
+
+
+def write_store_meta(enc_dir: str, n_splits: int) -> None:
+    """Sidecar recording the split routing parameter.  Point lookups
+    (lookup.decode_docs) need the SAME n_splits the encoder used — a
+    mismatch silently routes to the wrong partition and returns partial
+    results, so the store carries its own routing metadata (underscore
+    prefix: ignored by Spark's file listing, survives dynamic
+    partition overwrite)."""
+    import json
+    import os
+
+    os.makedirs(enc_dir, exist_ok=True)
+    tmp = os.path.join(enc_dir, "_crumble_meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"n_splits": n_splits, "split_fn": "crc32(doc_id) % n_splits"}, f)
+    os.replace(tmp, os.path.join(enc_dir, "_crumble_meta.json"))
+
+
+def read_store_meta(enc_dir: str) -> dict | None:
+    import json
+    import os
+
+    p = os.path.join(enc_dir, "_crumble_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def write_encoded_iceberg(

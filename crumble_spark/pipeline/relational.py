@@ -99,14 +99,155 @@ Q_REVENUE_BY_NATION_SQL = (
 )
 
 
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: per (returnflag, linestatus)
+    quantity/price/discounted sums and counts.  Pure map-side-combinable
+    groupBy over the fact table — the canonical wide-agg scan shape.
+    Money floored to cents per row so sums are order-free."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("long")
+    price_cents = F.floor(F.col("l_extendedprice") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.sum(price_cents).alias("sum_price_cents"),
+            F.sum(disc_cents).alias("sum_disc_cents"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+Q_PRICING_SUMMARY_SQL = (
+    "SELECT l_returnflag, l_linestatus, "
+    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
+    "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+    "count(*) AS count_order "
+    "FROM lineitem GROUP BY 1, 2"
+)
+
+
+LATE_DAYS = 60
+
+
+def q_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-shaped: orders per priority having AT LEAST ONE lineitem
+    shipped more than LATE_DAYS after the order date — the correlated
+    EXISTS, expressed as a left-semi join.  The lateness predicate needs
+    both tables, so the lineitem side is pre-projected to (key, shipdate)
+    and the semi-join keeps each qualifying order exactly once regardless
+    of how many late items it has."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = _t(spark, sf_dir, "orders")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr(f"INTERVAL {LATE_DAYS} DAYS")
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+Q_LATE_ORDERS_SQL = (
+    "SELECT o_orderpriority, count(*) AS n_orders FROM orders "
+    "WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+    f"AND l_shipdate > o_orderdate + INTERVAL {LATE_DAYS} DAY) GROUP BY 1"
+)
+
+
+def q_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-shaped: top-5 suppliers by lineitem revenue.  groupBy on
+    the fact key, broadcast the supplier dim, TakeOrderedAndProject for
+    the top-k."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("rev_cents"),
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(F.sum("rev_cents").alias("rev_cents"))
+    top = (
+        rev.join(F.broadcast(supp), rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "rev_cents")
+        .orderBy(F.desc("rev_cents"), F.asc("s_suppkey"))
+        .limit(5)
+    )
+    w = Window.orderBy(F.desc("rev_cents"), F.asc("s_suppkey"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "s_suppkey", "s_name", "rev_cents", F.col("rank").cast("int").alias("rank")
+    )
+
+
+Q_TOP_SUPPLIERS_SQL = (
+    "WITH r AS (SELECT l_suppkey, "
+    "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS rev_cents "
+    "FROM lineitem GROUP BY 1) "
+    "SELECT s_suppkey, s_name, rev_cents, "
+    "CAST(row_number() OVER (ORDER BY rev_cents DESC, s_suppkey ASC) AS INTEGER) AS rank "
+    "FROM r JOIN supplier ON s_suppkey = l_suppkey "
+    "ORDER BY rev_cents DESC, s_suppkey ASC LIMIT 5"
+)
+
+
+SESSION_GAP_MIN = 30
+
+
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a user's events split into sessions at
+    >30-minute silences (lag + conditional cumsum over a per-user
+    window — the standard distributed sessionizer: one shuffle on
+    user_id, all window math inside the partition).  Output: per-user
+    session count and the longest session's event count."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    # ties in ts are benign: gap and session sizes depend only on the
+    # sorted multiset of timestamps, so both engines agree without a
+    # tie-break column
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_min = (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))) / 60.0
+    new_sess = F.when(gap_min.isNull() | (gap_min > SESSION_GAP_MIN), 1).otherwise(0)
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n_events"))
+    return per_sess.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
+Q_EVENT_SESSIONS_SQL = (
+    "WITH g AS (SELECT user_id, ts, "
+    "(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 60.0 AS gap "
+    "FROM events), "
+    "s AS (SELECT user_id, ts, CASE WHEN gap IS NULL OR gap > "
+    f"{SESSION_GAP_MIN} THEN 1 ELSE 0 END AS new_sess FROM g), "
+    "c AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM s), "
+    "p AS (SELECT user_id, sess_id, count(*) AS n_events FROM c GROUP BY 1, 2) "
+    "SELECT user_id, count(*) AS n_sessions, "
+    "CAST(max(n_events) AS BIGINT) AS max_session_events FROM p GROUP BY 1"
+)
+
+
 QUERIES = {
     "events_hourly_rollup": q_events_hourly,
     "events_top_users": q_events_top_users,
+    "events_sessions": q_event_sessions,
     "rel_revenue_by_nation": q_revenue_by_nation,
+    "rel_pricing_summary": q_pricing_summary,
+    "rel_late_orders": q_late_orders,
+    "rel_top_suppliers": q_top_suppliers,
 }
 
 ORACLES = {
     "events_hourly_rollup": Q_EVENTS_HOURLY_SQL,
     "events_top_users": Q_EVENTS_TOP_USERS_SQL,
+    "events_sessions": Q_EVENT_SESSIONS_SQL,
     "rel_revenue_by_nation": Q_REVENUE_BY_NATION_SQL,
+    "rel_pricing_summary": Q_PRICING_SUMMARY_SQL,
+    "rel_late_orders": Q_LATE_ORDERS_SQL,
+    "rel_top_suppliers": Q_TOP_SUPPLIERS_SQL,
 }

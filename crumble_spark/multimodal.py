@@ -118,5 +118,107 @@ Q_MM_BINARY_META_SQL = (
 )
 
 
-QUERIES = {"mm_binary_meta": q_mm_binary_meta}
-ORACLES = {"mm_binary_meta": Q_MM_BINARY_META_SQL}
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("out_w", T.IntegerType(), False),
+        T.StructField("out_h", T.IntegerType(), False),
+        T.StructField("mean_pixel_e6", T.LongType(), False),
+        T.StructField("checksum", T.LongType(), False),
+    ]
+)
+
+
+def resize_images_df(media: DataFrame, out_w: int = 16, out_h: int = 16) -> DataFrame:
+    """decode → fixed-size area resize (integer block pooling), one
+    mapInPandas pass.  The pooling itself is the real kernel (pure
+    numpy, deterministic); only the decode behind it is the stub."""
+    import zlib
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image_stub(bytes(payload)).astype(np.int64)
+                h, w = img.shape[0], img.shape[1]
+                # area pooling via index mapping (works for any h,w -> out)
+                yi = (np.arange(out_h) * h) // out_h
+                xi = (np.arange(out_w) * w) // out_w
+                small = img[yi][:, xi]
+                rows.append(
+                    (
+                        int(doc_id),
+                        out_w,
+                        out_h,
+                        int(np.floor(small.mean() * 1_000_000)),
+                        zlib.crc32(small.astype(np.uint8).tobytes()),
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in RESIZE_SCHEMA.fields])
+
+    return media.mapInPandas(fn, schema=RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("mean_pixel_e6", T.LongType(), False),
+    ]
+)
+
+FRAME_STRIDE = 4  # sample every 4th frame
+
+
+def sample_frames_df(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Video frame sampling: the payload header declares n_frames
+    (byte[2] % 16 + 1); every `stride`-th frame is decoded (stub: frame i
+    = image seeded by payload+i) and reduced to a mean.  One row per
+    sampled frame — the fan-out happens inside the Arrow batch, bounded
+    by n_frames/stride per video, never on the driver."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                pb = bytes(payload)
+                n_frames = pb[2] % 16 + 1
+                for i in range(0, n_frames, stride):
+                    # vary a seed byte per frame, keep the h/w header bytes
+                    # (0,1) stable so every frame of a video has one shape
+                    frame = decode_image_stub(pb[:2] + bytes([(pb[2] + i) % 256]) + pb[3:])
+                    rows.append((int(doc_id), i, int(np.floor(frame.mean() * 1_000_000))))
+            yield pd.DataFrame(rows, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return media.mapInPandas(fn, schema=FRAME_SCHEMA)
+
+
+def q_mm_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sampling plan (which frames of which docs get decoded),
+    derived purely from header math — the Catalyst-side contract the
+    mapInPandas sampler must honor (oracle-checked; the decoded means
+    themselves come from the stub and are covered by pytest)."""
+    m = media_table(spark, sf_dir)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", F.md5("text").alias("hx"))
+    n_frames = (F.conv(F.substring("hx", 5, 2), 16, 10).cast("int") % 16 + 1).alias("n_frames")
+    base = d.join(m.select("doc_id"), "doc_id").select("doc_id", n_frames)
+    return base.select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(FRAME_STRIDE))
+        ).alias("frame_idx"),
+    )
+
+
+Q_MM_FRAME_PLAN_SQL = (
+    "WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents), "
+    "n AS (SELECT doc_id, CAST(CAST(('0x' || substr(hx, 5, 2)) AS BIGINT) % 16 + 1 AS INTEGER) "
+    "AS n_frames FROM m) "
+    "SELECT doc_id, n_frames, CAST(unnest(generate_series(0, n_frames - 1, "
+    f"{FRAME_STRIDE})) AS INTEGER) AS frame_idx FROM n"
+)
+
+
+QUERIES = {"mm_binary_meta": q_mm_binary_meta, "mm_frame_plan": q_mm_frame_plan}
+ORACLES = {"mm_binary_meta": Q_MM_BINARY_META_SQL, "mm_frame_plan": Q_MM_FRAME_PLAN_SQL}

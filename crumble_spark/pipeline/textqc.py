@@ -196,6 +196,31 @@ def _q_token_count_sql() -> str:
     )
 
 
+def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex-tokenizer counts: word runs and punctuation both count (the
+    GPT-2-style pretokenizer split, reduced to its countable core).
+    regexp_count stays JVM-side — no UDF for a per-doc scalar."""
+    d = documents(spark, sf_dir)
+    words_n = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9_]+"))
+    punct_n = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]"))
+    return d.select(
+        "doc_id",
+        words_n.cast("int").alias("n_word_tokens"),
+        punct_n.cast("int").alias("n_punct_tokens"),
+        (words_n + punct_n).cast("int").alias("n_regex_tokens"),
+    )
+
+
+_Q_TOKEN_COUNT_REGEX_SQL = (
+    "SELECT doc_id, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INTEGER) AS n_word_tokens, "
+    "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_punct_tokens, "
+    "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) "
+    "+ len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_regex_tokens "
+    "FROM documents"
+)
+
+
 VOCAB_TOP_K = 50
 
 
@@ -257,12 +282,14 @@ QUERIES = {
     "text_langid": q_langid,
     "text_langid_profiles": q_langid_profiles,
     "text_token_count": q_token_count,
+    "text_token_count_regex": q_token_count_regex,
     "text_fingerprint": q_fingerprint,
     "text_vocab_topk": q_vocab_topk,
 }
 
 ORACLES = {
     "text_vocab_topk": _q_vocab_topk_sql(),
+    "text_token_count_regex": _Q_TOKEN_COUNT_REGEX_SQL,
     "text_quality": _q_text_quality_sql(),
     "text_langid": _q_langid_sql(),
     "text_langid_profiles": _q_langid_profiles_sql(),

@@ -27,6 +27,24 @@ def test_lookup_returns_exact_docs(spark, tmp_path):
         assert got[d] == want[d]
 
 
+def test_lookup_resolves_n_splits_from_sidecar(spark, tmp_path):
+    from crumble_spark import sinks
+
+    out, src = _encoded_dir(spark, tmp_path, n_splits=16)
+    sinks.write_store_meta(out, 16)
+    ids = [src.select("doc_id").collect()[0]["doc_id"]]
+    got = lookup.decode_docs(spark, out, ids).collect()  # no n_splits passed
+    assert {r["doc_id"] for r in got} == set(ids)
+
+
+def test_lookup_refuses_sidecarless_store_without_n_splits(spark, tmp_path):
+    import pytest
+
+    out, src = _encoded_dir(spark, tmp_path)
+    with pytest.raises(ValueError, match="_crumble_meta.json"):
+        lookup.decode_docs(spark, out, ["x"])
+
+
 def test_lookup_prunes_partitions(spark, tmp_path):
     out, src = _encoded_dir(spark, tmp_path)
     ids = [src.select("doc_id").collect()[0]["doc_id"]]

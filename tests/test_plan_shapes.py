@@ -51,6 +51,32 @@ def test_ann_scaled_is_equi_join(spark):
     assert any("bucket" in ln for ln in hash_join_lines), plan[:2000]
 
 
+def test_late_orders_is_left_semi(spark):
+    plan = _plan(relational.q_late_orders(spark, SF_DIR))
+    assert "LeftSemi" in plan and "CartesianProduct" not in plan
+
+
+def test_vocab_topk_uses_take_ordered(spark):
+    from crumble_spark.pipeline import textqc
+
+    assert "TakeOrderedAndProject" in _plan(textqc.q_vocab_topk(spark, SF_DIR))
+
+
+def test_sessions_single_user_shuffle(spark):
+    import re
+
+    plan = _plan(relational.q_event_sessions(spark, SF_DIR))
+    # lag window + per-session groupBy + per-user groupBy must all reuse
+    # ONE hashpartitioning(user_id) exchange
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_simhash48_is_banded_equi_join(spark):
+    plan = _plan(dedup.q_simhash48_pairs(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_encode_scan_prunes_and_pushes(spark):
     # the flagship encode path must push the column prune to parquet:
     # reading documents for tokenization needs only doc_id/text/source

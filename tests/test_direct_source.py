@@ -43,6 +43,29 @@ def test_direct_decode_verify(spark, tok_dir, tmp_path):
     assert totals["tokens"] == src["t"]
 
 
+def test_direct_survives_stale_tmp_from_crashed_attempt(spark, tok_dir, tmp_path):
+    # a task that died mid-write leaves enc-*.parquet.tmp; the retry must
+    # overwrite it and publish atomically — output identical to a clean run
+    import os
+
+    out = str(tmp_path / "crashy")
+    enc_dir = os.path.join(out, "encoded")
+    os.makedirs(enc_dir)
+    f, rg = direct.list_input_splits(tok_dir)[0]
+    stale = os.path.join(
+        enc_dir, f"enc-{os.path.basename(f)}-rg{rg}.parquet.tmp"
+    )
+    with open(stale, "wb") as fh:
+        fh.write(b"garbage from a crashed attempt")
+    direct.encode_job_direct(spark, tok_dir, out, block_size=256, n_splits=16)
+    got = spark.read.parquet(enc_dir)
+    want = encode_df(spark.read.parquet(tok_dir), block_size=256, n_splits=16)
+    assert got.count() == want.count()
+    a = {r["doc_id"]: r["row_hash"] for r in got.collect()}
+    b = {r["doc_id"]: r["row_hash"] for r in want.collect()}
+    assert a == b
+
+
 def test_direct_rejects_out_of_range_int64_tokens(tmp_path):
     # int64 token column with values outside int32: the contract check must
     # fail the split loudly, never silently wrap (ADVICE r1)

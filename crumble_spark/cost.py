@@ -80,7 +80,8 @@ def choose_with_stats(a: np.ndarray, st: stats.BlockStats) -> tuple[int, bytes]:
     # The lag-match fraction must beat what i.i.d. low-card noise shows by
     # chance, else every 2-symbol block wastes a trial encode.
     if st.n >= FSST_MIN_N and 1 < st.card <= FSST_MAX_CARD and best_size * 8 > st.n:
-        a = np.asarray(a, dtype=np.int64)  # one upcast for the tile/lag math
+        # int32 is fine throughout the gate: the lag scan and tile votes
+        # are pure equality/argmax, and tile/fsst encode upcast internally
         lag, frac = stats.periodicity_scan(a, max_lag=stats.MAX_LAG)
         chance = stats.chance_match_rate(st.counts, st.n)
         if frac >= max(FSST_MIN_PERIODICITY, 1.5 * chance):

@@ -55,11 +55,21 @@ class BlockStats:
             nz = np.flatnonzero(cnt)
             self._values = (nz + self.vmin).astype(np.int64)
             self._counts = cnt[nz].astype(np.int64)
+        elif self.n_runs == self.n:
+            # every run has length 1 → all weights are 1: a plain value
+            # sort is enough, counts are the group sizes (no argsort, no
+            # weight gather) — the common case for high-entropy blocks
+            srv = np.sort(rv)
+            starts = np.concatenate(([0], np.flatnonzero(srv[1:] != srv[:-1]) + 1))
+            self._values = srv[starts]
+            self._counts = np.diff(np.concatenate((starts, [len(srv)])))
         else:
-            # one stable argsort + segmented integer sum: same result as
+            # one argsort + segmented integer sum: same result as
             # np.unique(return_inverse) + weighted bincount, without
-            # building the inverse array or round-tripping through float
-            order = np.argsort(rv, kind="stable")
+            # building the inverse array or round-tripping through float.
+            # stability is irrelevant: equal keys contribute the same sum
+            # in any order
+            order = np.argsort(rv)
             srv = rv[order]
             starts = np.concatenate(([0], np.flatnonzero(srv[1:] != srv[:-1]) + 1))
             self._values = srv[starts]

@@ -142,6 +142,7 @@ def encode_flat(
         0,
         np.where(const_mask, 1, np.where(slow_mask, 3, cheap_ids + 4)),
     ).tolist()
+    best_cheap_l = best_cheap.tolist()
     bstart_l = bstart.tolist()
     blen_l = blen.tolist()
     block_row_l = block_row.tolist()
@@ -200,6 +201,14 @@ def encode_flat(
                 _lengths=seg_len[rb_l[b] : rb_end_l[b]],
             )
             cid, payload = cost.choose_with_stats(chunk, st)
+        if c >= 4 and len(payload) != best_cheap_l[b]:
+            # the vectorized sizing (reduceat stats + _widths) and the
+            # emitted encode_pre bytes must never disagree — the cheap-path
+            # twin of cost.choose_with_stats's size assert
+            raise AssertionError(
+                f"cheap-codec size drift: codec {cid} emitted {len(payload)} "
+                f"bytes, batch sizing predicted {best_cheap_l[b]}"
+            )
         blocks_per_row[row].append(
             {"block_id": bid, "codec_id": cid, "n": n_b, "payload": payload}
         )

@@ -167,15 +167,18 @@ FRAME_SCHEMA = T.StructType(
     ]
 )
 
-FRAME_STRIDE = 4  # sample every 4th frame
+FRAME_STRIDE = 4  # sample every 4th frame — baked into q_mm_frame_plan's
+# oracle; change it THERE, not per call, so the sampler can never drift
+# from the oracle-checked sampling contract
 
 
-def sample_frames_df(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+def sample_frames_df(media: DataFrame) -> DataFrame:
     """Video frame sampling: the payload header declares n_frames
-    (byte[2] % 16 + 1); every `stride`-th frame is decoded (stub: frame i
-    = image seeded by payload+i) and reduced to a mean.  One row per
-    sampled frame — the fan-out happens inside the Arrow batch, bounded
-    by n_frames/stride per video, never on the driver."""
+    (byte[2] % 16 + 1); every FRAME_STRIDE-th frame is decoded (stub:
+    frame i = image seeded by a varied header byte) and reduced to a
+    mean.  One row per sampled frame — the fan-out happens inside the
+    Arrow batch, bounded by n_frames/stride per video, never on the
+    driver.  The sampled index set is exactly q_mm_frame_plan's."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -183,7 +186,7 @@ def sample_frames_df(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 pb = bytes(payload)
                 n_frames = pb[2] % 16 + 1
-                for i in range(0, n_frames, stride):
+                for i in range(0, n_frames, FRAME_STRIDE):
                     # vary a seed byte per frame, keep the h/w header bytes
                     # (0,1) stable so every frame of a video has one shape
                     frame = decode_image_stub(pb[:2] + bytes([(pb[2] + i) % 256]) + pb[3:])

@@ -55,22 +55,28 @@ def _q_clean_manifest_sql() -> str:
 
 def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage survivor counts (the report a curation run emits:
-    how many docs each gate removed — crumble's end-of-run counters)."""
-    total = textqc.documents(spark, sf_dir).count()
+    how many docs each gate removed — crumble's end-of-run counters).
+    Fully lazy: one DataFrame of unioned aggregates, no driver-side
+    .count() actions — the caller (driver / a scheduler) decides when
+    the single job runs."""
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+
     quality = textqc.q_text_quality(spark, sf_dir).filter(
         F.col("quality_e6") >= QUALITY_MIN_E6
     )
     lang = textqc.q_langid_profiles(spark, sf_dir).filter(
         F.col("lang_pred").isin(*KEEP_LANGS)
     )
-    kept = q_clean_manifest(spark, sf_dir)
-    rows = [
-        ("0_total", total),
-        ("1_quality", quality.count()),
-        ("2_lang", lang.count()),
-        ("3_clean", kept.count()),
-    ]
-    return spark.createDataFrame(rows, "stage string, n_docs long")
+    return (
+        stage("0_total", textqc.documents(spark, sf_dir))
+        .unionByName(stage("1_quality", quality))
+        .unionByName(stage("2_lang", lang))
+        .unionByName(stage("3_clean", q_clean_manifest(spark, sf_dir)))
+    )
 
 
 def _q_clean_funnel_sql() -> str:

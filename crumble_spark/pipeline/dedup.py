@@ -296,32 +296,33 @@ def _simhash_cte() -> str:
 Q_SIMHASH_SQL = _simhash_cte() + " SELECT doc_id, simhash FROM sim"
 
 
-def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs at hamming distance <= SIMHASH_HAM_MAX, via banding.
+def _banded_hamming_pairs(
+    sig: DataFrame, total_bits: int, n_bands: int, ham_max: int
+) -> DataFrame:
+    """Near-dup pairs within `ham_max` on a `simhash` column, via banding.
 
-    Scale shape (NOT a cartesian): the 16-bit signature is split into 4
-    nibble bands; by pigeonhole, any pair within hamming 2 agrees exactly
-    on >= 2 of the 4 bands, so an equi-join on (band, nibble) finds every
-    qualifying pair.  The expensive check (bit_count of the xor) runs only
-    on band-collision candidates — one short-key shuffle, no self-join of
-    the full signature table.  With a production-width signature (64-bit,
-    4 x 16-bit bands) each band key has 65k values; the 16-bit width here
-    is kept so the oracle stays bit-identical to round 1.
+    Scale shape (NOT a cartesian): the signature splits into n_bands
+    equal bit-bands; by pigeonhole, a pair within ham_max differs in at
+    most ham_max bands, so whenever n_bands > ham_max at least one band
+    matches exactly and an equi-join on (band, key) finds every
+    qualifying pair.  The expensive check (bit_count of the xor) runs
+    only on band collisions — one short-key shuffle, no self-join of the
+    full signature table.
     """
-    s = q_simhash(spark, sf_dir)
-    nibble_bits = SIMHASH_BITS // SIMHASH_N_BANDS
+    assert n_bands > ham_max, "banding incomplete: need n_bands > ham_max"
+    bits_per_band = total_bits // n_bands
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.shiftright("simhash", b * nibble_bits)
-                .bitwiseAND(F.lit((1 << nibble_bits) - 1))
+                F.shiftright("simhash", b * bits_per_band)
+                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
                 .alias("key"),
             )
-            for b in range(SIMHASH_N_BANDS)
+            for b in range(n_bands)
         ]
     )
-    banded = s.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -338,8 +339,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             ham.cast("int").alias("hamming"),
         )
-        .filter(F.col("hamming") <= SIMHASH_HAM_MAX)
-        .distinct()  # a pair can collide in up to 4 bands
+        .filter(F.col("hamming") <= ham_max)
+        .distinct()  # a pair can collide in more than one band
+    )
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded near-dup pairs at hamming <= 2 on the 16-bit simhash (the
+    round-1-oracle-parity width; q_simhash48_pairs is the production
+    width — same _banded_hamming_pairs shape, wider keys)."""
+    return _banded_hamming_pairs(
+        q_simhash(spark, sf_dir), SIMHASH_BITS, SIMHASH_N_BANDS, SIMHASH_HAM_MAX
     )
 
 
@@ -387,38 +397,7 @@ def q_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = w.select("doc_id", h48).groupBy("doc_id").agg(*sums).select(
         "doc_id", val.alias("simhash")
     )
-    bits_per_band = SIMHASH64_BITS // SIMHASH64_BANDS
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright("simhash", b * bits_per_band)
-                .bitwiseAND(F.lit((1 << bits_per_band) - 1))
-                .alias("key"),
-            )
-            for b in range(SIMHASH64_BANDS)
-        ]
-    )
-    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
-        "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
-    )
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            ham.cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= SIMHASH64_HAM_MAX)
-        .distinct()
-    )
+    return _banded_hamming_pairs(sig, SIMHASH64_BITS, SIMHASH64_BANDS, SIMHASH64_HAM_MAX)
 
 
 def _q_simhash48_sql() -> str:

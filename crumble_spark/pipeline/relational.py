@@ -110,7 +110,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            # floor BOTH engines (Spark's cast truncates, DuckDB's rounds —
+            # floor is the one spelling they share; CLAUDE.md never-round rule)
+            F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
             F.sum(price_cents).alias("sum_price_cents"),
             F.sum(disc_cents).alias("sum_disc_cents"),
             F.count("*").alias("count_order"),
@@ -120,7 +122,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_PRICING_SUMMARY_SQL = (
     "SELECT l_returnflag, l_linestatus, "
-    "CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, "
+    "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
     "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents, "
     "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
     "count(*) AS count_order "

@@ -243,6 +243,28 @@ def _scaled_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     return eb.withColumn("bucket", _scaled_bucket(F.col("emb"), F.col("nb")))
 
 
+def _with_probes(df: DataFrame, emb_col: str) -> DataFrame:
+    """Explode each row (carrying `bucket` and `nb`) into its own bucket
+    plus every hamming-1 neighbor as `p_bucket` — nb+1 probe rows.  Bit i
+    of the bucket fold carries weight 2^(nb-i), so flipping it adds
+    (1 - 2*bit) * 2^(nb-i)."""
+    flip = lambda i: (
+        F.col("bucket")
+        + (F.lit(1) - 2 * F.when(F.element_at(emb_col, i) > 0, F.lit(1)).otherwise(F.lit(0)))
+        .cast("long")
+        * F.pow(F.lit(2.0), (F.col("nb") - i).cast("double")).cast("long")
+    )
+    return df.withColumn(
+        "p_bucket",
+        F.explode(
+            F.concat(
+                F.array(F.col("bucket")),
+                F.transform(F.sequence(F.lit(1), F.col("nb")), flip),
+            )
+        ),
+    )
+
+
 def q_ann_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k with N-scaled bucket bits and hamming-1 multi-probe.
 
@@ -253,33 +275,14 @@ def q_ann_scaled_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10^12 rows this is the inverted-index/IVF shape with 2^16 lists.
     """
     eb = _scaled_base(spark, sf_dir)
-    q = eb.filter(F.col("vec_id") < N_QUERIES)
-    # probe set: exact bucket plus each bit flipped; bit i has weight
-    # 2^(nb-i), and flipping adds (1-2*bit)*weight
-    flip = lambda i: (
-        F.col("bucket")
-        + (F.lit(1) - 2 * F.when(F.element_at("q_emb", i) > 0, F.lit(1)).otherwise(F.lit(0)))
-        .cast("long")
-        * F.pow(F.lit(2.0), (F.col("nb") - i).cast("double")).cast("long")
-    )
-    q = q.select(
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("q_id"),
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
         "bucket",
         "nb",
     )
-    probes = q.select(
-        "q_id",
-        "q_emb",
-        "q_nrm",
-        F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.transform(F.sequence(F.lit(1), F.col("nb")), flip),
-            )
-        ).alias("p_bucket"),
-    )
+    probes = _with_probes(q, "q_emb").select("q_id", "q_emb", "q_nrm", "p_bucket")
     pairs = eb.join(
         F.broadcast(probes),
         (F.col("bucket") == F.col("p_bucket")) & (F.col("vec_id") != F.col("q_id")),
@@ -372,29 +375,14 @@ def q_embedding_neardup_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair expansion is O(N * (nb+1) * target) — linear in N — instead of
     the fixed-bucket O(N^2/256)."""
     eb = _scaled_base(spark, sf_dir)
-    flip = lambda i: (
-        F.col("bucket")
-        + (F.lit(1) - 2 * F.when(F.element_at("a_emb", i) > 0, F.lit(1)).otherwise(F.lit(0)))
-        .cast("long")
-        * F.pow(F.lit(2.0), (F.col("nb") - i).cast("double")).cast("long")
-    )
-    probes = eb.select(
+    a_side = eb.select(
         F.col("vec_id").alias("vec_a"),
         F.col("emb").alias("a_emb"),
         F.col("nrm").alias("a_nrm"),
         "bucket",
         "nb",
-    ).select(
-        "vec_a",
-        "a_emb",
-        "a_nrm",
-        F.explode(
-            F.concat(
-                F.array(F.col("bucket")),
-                F.transform(F.sequence(F.lit(1), F.col("nb")), flip),
-            )
-        ).alias("p_bucket"),
     )
+    probes = _with_probes(a_side, "a_emb").select("vec_a", "a_emb", "a_nrm", "p_bucket")
     pairs = probes.join(
         eb,
         (F.col("p_bucket") == F.col("bucket")) & (F.col("vec_a") < F.col("vec_id")),

@@ -122,11 +122,17 @@ def _encode_split(
         # zero-copy: the Arrow list column IS (values buffer, offsets) —
         # exactly encode_flat's input shape, no per-row materialization
         vtype = toks.type.value_type
+        if not pa.types.is_integer(vtype):
+            # float/decimal token columns would be silently truncated by
+            # the cast and row_hash would 'verify' the corruption
+            raise ValueError(
+                f"input contract violation in {path} rg{rg}: tokens are "
+                f"{vtype}, expected an integer type (array<int32>)"
+            )
         flat = toks.values.to_numpy(zero_copy_only=False)
         if not pa.types.is_int32(vtype):
-            # input contract is array<int32>; a silent astype would wrap
-            # out-of-range int64 values and row_hash would happily verify
-            # the corrupted values — fail the split loudly instead
+            # wider integer storage is fine IF the values fit; a silent
+            # astype would wrap out-of-range values — fail the split loudly
             if len(flat) and (flat.min() < -(1 << 31) or flat.max() >= (1 << 31)):
                 raise ValueError(
                     f"input contract violation in {path} rg{rg}: tokens are "

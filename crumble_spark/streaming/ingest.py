@@ -26,6 +26,21 @@ def encode_stream(
 ):
     """Encode newly arrived parquet shards from in_dir into
     {out_dir}/encoded, one lineage row set per micro-batch."""
+    # layout guard: pre-r2 runs appended bare part files into encoded/;
+    # mixing them with the batch=<id> partition dirs would make every
+    # later read fail with 'conflicting directory structures' — refuse
+    # up front with a actionable message instead
+    import glob
+    import os
+
+    legacy = glob.glob(os.path.join(out_dir, "encoded", "part-*"))
+    if legacy:
+        raise ValueError(
+            f"{out_dir}/encoded contains {len(legacy)} bare part files from "
+            "the pre-batch-partition layout; move them into a batch=-1/ "
+            "subdirectory (or start a fresh out_dir) before resuming"
+        )
+
     stream = (
         spark.readStream.schema(TOKENS_SCHEMA)
         .option("maxFilesPerTrigger", 64)

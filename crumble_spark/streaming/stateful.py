@@ -50,11 +50,18 @@ STATE_SCHEMA = T.StructType([T.StructField("seen", T.BooleanType())])
 def _emit_first(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
     if state.exists:
         return iter(())  # hash already emitted in an earlier batch
+    # winner = smallest doc_id under (length, lexicographic) order, which
+    # equals NUMERIC order for canonical decimal ids — matching the batch
+    # twin q_dedup_exact's ORDER BY on the int64 column ('10' must lose
+    # to '2'), while staying a deterministic total order for any string id
+    def doc_key(doc_id) -> tuple:
+        s = str(doc_id)
+        return (len(s), s)
+
     best = None
     for pdf in pdfs:
-        if len(pdf):
-            cand = pdf.sort_values("doc_id", kind="stable").iloc[0]
-            if best is None or cand["doc_id"] < best["doc_id"]:
+        for _, cand in pdf.iterrows():
+            if best is None or doc_key(cand["doc_id"]) < doc_key(best["doc_id"]):
                 best = cand
     if best is None:
         return iter(())

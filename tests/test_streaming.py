@@ -88,11 +88,32 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     assert "1" in uniq1.values()  # smallest doc_id won within the batch
 
     # wave 2: one repeat (must be suppressed by state) + one new text
+    # duplicated across ids 10 and 2 — the winner must be NUMERIC-min 2,
+    # not string-min '10' (batch-twin parity with q_dedup_exact)
     docs([
         (9, "alpha beta", "en", "web", 10),
-        (4, "epsilon zeta", "en", "web", 12),
+        (10, "epsilon zeta", "en", "web", 12),
+        (3, "epsilon zeta", "en", "web", 12),
     ]).write.mode("append").parquet(in_dir)
     stateful.dedup_stream(spark, in_dir, out)
     uniq2 = spark.read.parquet(f"{out}/unique")
     assert uniq2.count() == 3  # repeat suppressed across micro-batches
     assert uniq2.filter("doc_id = '9'").count() == 0
+    # numeric min must win even though '10' < '3' lexicographically
+    assert uniq2.filter("doc_id = '3'").count() == 1
+    assert uniq2.filter("doc_id = '10'").count() == 0
+
+
+def test_ingest_refuses_legacy_flat_layout(spark, tmp_path):
+    import os
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "legacy_out")
+    synth.synth_table(spark, 5, seed=9, mean_len=50, parts=1).write.parquet(in_dir)
+    os.makedirs(f"{out_dir}/encoded")
+    with open(f"{out_dir}/encoded/part-00000-old.parquet", "wb") as f:
+        f.write(b"pre-r2 flat-layout file")
+    import pytest
+
+    with pytest.raises(ValueError, match="pre-batch-partition layout"):
+        encode_stream(spark, in_dir, out_dir, block_size=128, n_splits=4)

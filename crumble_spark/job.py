@@ -136,6 +136,12 @@ def main() -> None:
         action="store_true",
         help="pyarrow-direct throughput path (sources/parquet_direct)",
     )
+    ap.add_argument(
+        "--verify",
+        action="store_true",
+        help="decode the written output and check every row's "
+        "block-combinable hash (crumble's conservation check as a flag)",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app="crumble-spark-encode")
@@ -154,6 +160,11 @@ def main() -> None:
             n_splits=cfg.n_splits, resume=not args.no_resume,
         )
         print(lin.groupBy("status").count().collect())
+        if args.verify:
+            from .sources.parquet_direct import decode_verify_direct
+
+            totals = decode_verify_direct(spark, f"{args.output}/encoded")
+            print(f"verified: {totals}")
     else:
         df = spark.read.parquet(args.input)
         print(
@@ -162,6 +173,16 @@ def main() -> None:
                 sink=args.format,
             )
         )
+        if args.verify:
+            from .decode import decode_df
+
+            enc = (
+                spark.read.table(args.output)
+                if args.format == "iceberg"
+                else spark.read.parquet(f"{args.output}/encoded")
+            )
+            n = decode_df(enc, verify=True).count()  # raises on any mismatch
+            print(f"verified: {n} rows round-trip bit-identical")
 
 
 if __name__ == "__main__":

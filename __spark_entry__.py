@@ -16,7 +16,15 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from crumble_spark import multimodal
-from crumble_spark.pipeline import curate, dedup, relational, simsearch, textqc, tokenize
+from crumble_spark.pipeline import (
+    curate,
+    dedup,
+    relational,
+    sampling,
+    simsearch,
+    textqc,
+    tokenize,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     return tokenize.q_compression_by_source(spark, "/root/testdata/sf0.001")
 
 
-_MODULES = (tokenize, dedup, textqc, simsearch, multimodal, relational, curate)
+_MODULES = (tokenize, dedup, textqc, simsearch, multimodal, relational, curate, sampling)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

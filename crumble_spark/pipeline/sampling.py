@@ -1,0 +1,122 @@
+"""Deterministic corpus sampling — the downsampling stage every
+training-data pipeline runs between cleaning and tokenization.
+
+Both operators are hash-deterministic (md5 of doc_id), so the sample is
+reproducible across runs, partitionings and engines — the same property
+that makes the engine's split assignment resumable.  No RNG state, no
+driver-side sampling:
+
+* stratified rate sampling — per-source keep-rates (permille) applied by
+  hashing each doc into 1000 buckets; a pure broadcast-join + filter
+  (no shuffle of the corpus).
+* token-budget sampling — keep each source's docs in hash order until a
+  token budget is exhausted; one window cumsum per source (single
+  shuffle on the short source key).
+
+Reference analogue: crumble's -p/-P sub-sampling of qualities keeps a
+deterministic subset rather than an RNG draw (snp_score.c option table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .tokenize import documents, tokens_table
+
+# per-source keep rates in permille (the knobs a data-mixture config
+# sets); testdata source names so the differentiated rates are actually
+# exercised by the oracle — unlisted sources fall back to DEFAULT_RATE
+SAMPLE_RATES = {"src0": 800, "src1": 400, "src2": 200, "src3": 1000}
+DEFAULT_RATE = 100
+TOKEN_BUDGET = 500  # per-source token budget — binds at oracle scale
+
+
+def _bucket1000(c):
+    """Deterministic 0..999 bucket from md5(doc_id) — same hex math both
+    engines (shared.word_hash discipline applied to sampling)."""
+    return F.conv(F.substring(F.md5(c.cast("string")), 1, 6), 16, 10).cast("long") % 1000
+
+
+_BUCKET1000_SQL = "CAST(('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 6)) AS BIGINT) % 1000"
+
+
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs kept under per-source rates: hash bucket < rate_permille.
+    Plan: broadcast the tiny rate table, filter — zero corpus shuffles,
+    and the sample is stable under re-runs and repartitioning."""
+    d = documents(spark, sf_dir).select("doc_id", "source")
+    rates = spark.createDataFrame(
+        [(k, v) for k, v in sorted(SAMPLE_RATES.items())], "source string, rate int"
+    )
+    return (
+        d.join(F.broadcast(rates), "source", "left")
+        .withColumn("rate", F.coalesce(F.col("rate"), F.lit(DEFAULT_RATE)))
+        .withColumn("bucket", _bucket1000(F.col("doc_id")))
+        .filter(F.col("bucket") < F.col("rate"))
+        .select("doc_id", "source", F.col("bucket").cast("int").alias("bucket"))
+    )
+
+
+def _rates_cte() -> str:
+    rows = " UNION ALL ".join(
+        f"SELECT '{k}' AS source, {v} AS rate" for k, v in sorted(SAMPLE_RATES.items())
+    )
+    return f"rates AS ({rows})"
+
+
+Q_SAMPLE_STRATIFIED_SQL = (
+    "WITH " + _rates_cte() + ", "
+    "b AS (SELECT d.doc_id, d.source, coalesce(r.rate, "
+    + str(DEFAULT_RATE)
+    + ") AS rate, "
+    + _BUCKET1000_SQL.format(c="d.doc_id")
+    + " AS bucket FROM documents d LEFT JOIN rates r ON r.source = d.source) "
+    "SELECT doc_id, source, CAST(bucket AS INTEGER) AS bucket FROM b WHERE bucket < rate"
+)
+
+
+def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget sample: walk each source's docs in
+    (hash-bucket, doc_id) order and keep while the running token total
+    stays within TOKEN_BUDGET (the first doc crossing the line is kept,
+    so every non-empty source contributes).  One shuffle on source; the
+    cumsum is window-local."""
+    t = tokens_table(spark, sf_dir).select("doc_id", "source", "n_tok")
+    keyed = t.withColumn("bucket", _bucket1000(F.col("doc_id")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("bucket", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = F.sum(F.col("n_tok").cast("long")).over(w)
+    return (
+        keyed.withColumn("cum_tok", cum)
+        .filter(
+            (F.col("cum_tok") - F.col("n_tok") < TOKEN_BUDGET)
+        )
+        .select("doc_id", "source", "n_tok", "cum_tok")
+    )
+
+
+Q_SAMPLE_TOKEN_BUDGET_SQL = (
+    "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "
+    "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok, "
+    + _BUCKET1000_SQL.format(c="doc_id")
+    + " AS bucket FROM documents), "
+    "c AS (SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, "
+    "CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY bucket, doc_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tok FROM tok) "
+    f"SELECT doc_id, source, n_tok, cum_tok FROM c WHERE cum_tok - n_tok < {TOKEN_BUDGET}"
+)
+
+
+QUERIES = {
+    "sample_stratified": q_sample_stratified,
+    "sample_token_budget": q_sample_token_budget,
+}
+
+ORACLES = {
+    "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+    "sample_token_budget": Q_SAMPLE_TOKEN_BUDGET_SQL,
+}

@@ -77,6 +77,48 @@ def test_simhash48_is_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_simhash48_banding_is_complete_vs_brute_force(spark):
+    # the 48-bit oracle SQL uses the SAME banding, so completeness isn't
+    # independently checked there; compare against an explicit brute-force
+    # hamming filter over all signature pairs at small scale
+    from itertools import combinations
+
+    from crumble_spark.pipeline.dedup import (
+        SIMHASH64_HAM_MAX,
+        q_simhash48_pairs,
+    )
+
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in dedup.q_simhash48_pairs(spark, SF_DIR).collect()
+    }
+    # recompute signatures exactly as the query does, then brute-force
+    import pyspark.sql.functions as F
+
+    from crumble_spark.pipeline import shared
+
+    d = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w = d.select("doc_id", F.explode(shared.words(F.col("text"))).alias("w"))
+    h48 = (F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")).alias("h")
+    from crumble_spark.pipeline.dedup import _simhash48_cols
+
+    sums, val = _simhash48_cols()
+    sigs = {
+        r["doc_id"]: r["simhash"]
+        for r in w.select("doc_id", h48)
+        .groupBy("doc_id")
+        .agg(*sums)
+        .select("doc_id", val.alias("simhash"))
+        .collect()
+    }
+    brute = {
+        (a, b, bin(sigs[a] ^ sigs[b]).count("1"))
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= SIMHASH64_HAM_MAX
+    }
+    assert banded == brute
+
+
 def test_encode_scan_prunes_and_pushes(spark):
     # the flagship encode path must push the column prune to parquet:
     # reading documents for tokenization needs only doc_id/text/source

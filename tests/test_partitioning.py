@@ -87,6 +87,22 @@ def test_adaptive_threshold_keeps_cap_for_uniform_long_docs(spark):
     assert derive_giant_threshold(df) == GIANT_ROW_TOKENS
 
 
+def test_split_id_crc32_parity_jvm_python(spark):
+    # the split routing invariant: F.crc32 (JVM, used by with_split_id)
+    # and zlib.crc32 (python, used by parquet_direct and lookup.split_of)
+    # must agree byte-for-byte, including non-ASCII doc ids
+    import zlib
+
+    from crumble_spark.encode import with_split_id
+
+    ids = ["a", "web-0000000001", "doc/with/slashes", "émoji-✓-id",
+           "x" * 300, "0", "ID_UPPER", "ид-кириллица"]
+    df = spark.createDataFrame([(d,) for d in ids], "doc_id string")
+    jvm = {r["doc_id"]: r["split_id"] for r in with_split_id(df, 64).collect()}
+    py = {d: zlib.crc32(d.encode("utf-8")) % 64 for d in ids}
+    assert jvm == py
+
+
 def test_giant_hash_reassembly_survives_int64_wrap(spark):
     # block hashes near 2^63 must reassemble to the python-side combine()
     # (sum mod 2^63) even when the Spark int64 sum wraps negative — the

@@ -8,8 +8,11 @@ the composition verified again end-to-end — crumble verifies per record
 AND reports run totals, snp_score.c:2021-2026, 2650-2666).
 
 Scale shape: quality/langid are projections (no shuffle); the dedup drop
-list is usually tiny relative to the corpus → broadcast anti-join; the
-final join is on doc_id (the natural key both sides are derived from).
+list anti-joins on doc_id with NO broadcast hint — at web scale exact-dup
+drop lists are 20-50% of all docs (billions of rows), so forcing a
+driver-side broadcast would OOM; AQE upgrades the anti-join to broadcast
+at runtime iff the list actually fits.  The final join is on doc_id (the
+natural key both sides are derived from).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ def q_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         quality.filter(F.col("quality_e6") >= QUALITY_MIN_E6)
         .join(lang.filter(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id")
-        .join(F.broadcast(drop), "doc_id", "left_anti")
+        .join(drop, "doc_id", "left_anti")
         .select("doc_id", "quality_e6", "lang_pred")
     )
 

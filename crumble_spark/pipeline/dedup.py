@@ -505,16 +505,20 @@ def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect groupBy (cheap-gate-then-expensive — crumble's -Y gate
     discipline, snp_score.c:1732).
 
-    Plan: broadcast the (small) candidate pair set onto the exploded
-    capped grams of doc_a, then equi-join doc_b's grams on (gram, doc_id)
-    — the gram-intersection work is proportional to candidate pairs, not
-    to every gram-sharing pair in the corpus.
+    Plan: equi-join the candidate pair set onto the exploded capped grams
+    of doc_a, then equi-join doc_b's grams on (gram, doc_id) — the
+    gram-intersection work is proportional to candidate pairs, not to
+    every gram-sharing pair in the corpus.  No broadcast hint on the
+    candidate set: on a near-dup-heavy web corpus candidates grow O(N),
+    so forcing a driver collect would OOM at scale; both joins are plain
+    equi-joins and AQE picks broadcast at runtime iff the side actually
+    fits (pinned by test_plan_shapes.py).
     """
     cand = q_dedup_minhash(spark, sf_dir)
     k = _capped_grams(spark, sf_dir)
     a, b = k.alias("a"), k.alias("b")
     inter = (
-        F.broadcast(cand)
+        cand
         .join(a, F.col("a.doc_id") == F.col("doc_a"))
         .join(
             b,

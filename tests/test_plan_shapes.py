@@ -15,6 +15,47 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+def _hinted_subtrees(df) -> list:
+    """Subtree strings of every ResolvedHint node in the analyzed plan.
+
+    A join-strategy hint (F.broadcast) forces a driver-side collect of the
+    hinted side regardless of its size; only sets that are bounded BY
+    CONSTRUCTION (the hot-gram stop list, a handful of query vectors) may
+    carry one.  Corpus-proportional sets (LSH candidate pairs, exact-dup
+    drop lists) must be plain equi-joins so AQE picks broadcast only when
+    the runtime size actually fits.
+    """
+    out = []
+    stack = [df._jdf.queryExecution().analyzed()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            out.append(node.toString())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return out
+
+
+def test_lsh_verified_candidate_set_not_broadcast_hinted(spark):
+    # the candidate pair set grows O(N) on a near-dup-heavy corpus; a
+    # broadcast hint on it is a guaranteed driver OOM at 100x.  The only
+    # permissible hints in this query are the hot-gram stop lists (bounded
+    # by GRAM_DF_CAP construction).
+    hints = _hinted_subtrees(dedup.q_dedup_lsh_verified(spark, SF_DIR))
+    for h in hints:
+        assert "doc_a" not in h and "doc_b" not in h, h[:500]
+
+
+def test_clean_manifest_drop_list_not_broadcast_hinted(spark):
+    # the exact-dup drop list is 20-50% of a web corpus — never hint it.
+    # quality/langid are projections and dedup_exact is a window filter, so
+    # the whole manifest plan must carry zero strategy hints.
+    from crumble_spark.pipeline import curate
+
+    assert _hinted_subtrees(curate.q_clean_manifest(spark, SF_DIR)) == []
+
+
 def test_simhash_pairs_is_banded_equi_join_not_cartesian(spark):
     plan = _plan(dedup.q_dedup_simhash(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan

@@ -54,12 +54,17 @@ def run_encode_job(
     cfg: EncodeConfig | None = None,
     resume: bool = True,
     sink: str = "parquet",
+    table_reader=None,
+    writer_factory=None,
 ) -> dict:
     """Encode `df` into {out_dir}/encoded (partitioned by split_id) with
     lineage rows in {out_dir}/lineage. Returns run summary.
 
     sink="iceberg" treats out_dir as a catalog table name and writes via
-    sinks.write_encoded_iceberg (needs the Iceberg runtime; see README)."""
+    sinks.write_encoded_iceberg (needs the Iceberg runtime; see README).
+    `table_reader(name) -> DataFrame` / `writer_factory(df, name)` inject
+    the catalog IO so the whole table-in/table-out job is testable without
+    the runtime (tests/test_sinks.py round-trips it)."""
     from . import sinks
 
     cfg = cfg or EncodeConfig()
@@ -69,10 +74,11 @@ def run_encode_job(
 
     if sink == "iceberg":
         lin_dir = f"{out_dir}_lineage"
+    read_table = table_reader or (lambda name: spark.read.table(name))
 
     def read_lineage():
         if sink == "iceberg":
-            return spark.read.table(lin_dir)
+            return read_table(lin_dir)
         return spark.read.parquet(lin_dir)
 
     df = with_split_id(df, cfg.n_splits)
@@ -84,9 +90,13 @@ def run_encode_job(
         giant_threshold=cfg.giant_threshold,
     )
 
+    def wf(table):
+        # sinks take factory(df); bind the table name per call site
+        return (lambda d: writer_factory(d, table)) if writer_factory else None
+
     if sink == "iceberg":
-        sinks.write_encoded_iceberg(enc, out_dir, run_id)
-        enc_written = spark.read.table(out_dir)
+        sinks.write_encoded_iceberg(enc, out_dir, run_id, writer_factory=wf(out_dir))
+        enc_written = read_table(out_dir)
     else:
         sinks.write_encoded_parquet(enc, enc_dir, n_splits=cfg.n_splits)
         enc_written = spark.read.parquet(enc_dir)
@@ -94,7 +104,7 @@ def run_encode_job(
         enc_written = enc_written.join(F.broadcast(done), "split_id", "left_anti")
     lin = lineage.lineage_from_encoded(enc_written, run_id)
     if sink == "iceberg":
-        sinks.append_lineage_iceberg(lin, lin_dir)
+        sinks.append_lineage_iceberg(lin, lin_dir, writer_factory=wf(lin_dir))
     else:
         lin.write.mode("append").parquet(lin_dir)
 
@@ -127,8 +137,8 @@ def main() -> None:
         "--format",
         choices=("parquet", "iceberg"),
         default="parquet",
-        help="sink: parquet dir (default) or an Iceberg table name "
-        "(requires the Iceberg Spark runtime; see README)",
+        help="parquet dirs (default) or Iceberg catalog tables for BOTH "
+        "--input and --output (requires the Iceberg Spark runtime; see README)",
     )
     ap.add_argument("--no-resume", action="store_true")
     ap.add_argument(
@@ -166,7 +176,14 @@ def main() -> None:
             totals = decode_verify_direct(spark, f"{args.output}/encoded")
             print(f"verified: {totals}")
     else:
-        df = spark.read.parquet(args.input)
+        if args.format == "iceberg":
+            # table-in/table-out: the input is an Iceberg catalog table,
+            # symmetric with the sink (BASELINE input contract)
+            from . import sinks
+
+            df = sinks.read_tokens_iceberg(spark, args.input)
+        else:
+            df = spark.read.parquet(args.input)
         print(
             run_encode_job(
                 spark, df, args.output, cfg=cfg, resume=not args.no_resume,

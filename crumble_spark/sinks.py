@@ -29,27 +29,84 @@ def write_encoded_parquet(enc: DataFrame, enc_dir: str, n_splits: int | None = N
         write_store_meta(enc_dir, n_splits)
 
 
+def _hadoop_fs(enc_dir: str):
+    """(fs, Path-class) for enc_dir via the active session's Hadoop conf,
+    or None when no JVM session is active (plain-python unit tests)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None or not hasattr(spark, "_jvm"):
+        return None
+    jvm = spark._jvm
+    path_cls = jvm.org.apache.hadoop.fs.Path
+    fs = path_cls(enc_dir).getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, path_cls
+
+
 def write_store_meta(enc_dir: str, n_splits: int) -> None:
     """Sidecar recording the split routing parameter.  Point lookups
     (lookup.decode_docs) need the SAME n_splits the encoder used — a
     mismatch silently routes to the wrong partition and returns partial
     results, so the store carries its own routing metadata (underscore
     prefix: ignored by Spark's file listing, survives dynamic
-    partition overwrite)."""
+    partition overwrite).
+
+    Written through the Hadoop FileSystem API so the sidecar lands next
+    to the data on hdfs:// / s3a:// sinks, not on the driver's local
+    disk; falls back to local-path I/O only when no Spark session is
+    active (and then only for scheme-less paths)."""
     import json
+
+    payload = json.dumps({"n_splits": n_splits, "split_fn": "crc32(doc_id) % n_splits"})
+    hfs = _hadoop_fs(enc_dir)
+    if hfs is not None:
+        fs, path_cls = hfs
+        fs.mkdirs(path_cls(enc_dir))
+        tmp = path_cls(f"{enc_dir}/_crumble_meta.json.tmp")
+        out = fs.create(tmp, True)
+        out.write(bytearray(payload.encode("utf-8")))
+        out.close()
+        final = path_cls(f"{enc_dir}/_crumble_meta.json")
+        fs.delete(final, False)
+        fs.rename(tmp, final)
+        return
     import os
 
+    assert "://" not in enc_dir, (
+        f"no active SparkSession to resolve the filesystem for {enc_dir!r}; "
+        "remote sidecars require the Hadoop FileSystem API"
+    )
     os.makedirs(enc_dir, exist_ok=True)
     tmp = os.path.join(enc_dir, "_crumble_meta.json.tmp")
     with open(tmp, "w") as f:
-        json.dump({"n_splits": n_splits, "split_fn": "crc32(doc_id) % n_splits"}, f)
+        f.write(payload)
     os.replace(tmp, os.path.join(enc_dir, "_crumble_meta.json"))
 
 
 def read_store_meta(enc_dir: str) -> dict | None:
     import json
+
+    hfs = _hadoop_fs(enc_dir)
+    if hfs is not None:
+        fs, path_cls = hfs
+        p = path_cls(f"{enc_dir}/_crumble_meta.json")
+        if not fs.exists(p):
+            return None
+        stream = fs.open(p)
+        try:
+            # commons-io ships with Spark; reads the stream fully
+            from pyspark.sql import SparkSession
+
+            jvm = SparkSession.getActiveSession()._jvm
+            text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        return json.loads(text)
     import os
 
+    assert "://" not in enc_dir, (
+        f"no active SparkSession to resolve the filesystem for {enc_dir!r}"
+    )
     p = os.path.join(enc_dir, "_crumble_meta.json")
     if not os.path.exists(p):
         return None
@@ -110,6 +167,25 @@ def _raise_runtime_hint(e: Exception) -> None:
         "with --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver> "
         "and a spark.sql.catalog.<name> config (see README 'Iceberg sink')"
     ) from e
+
+
+def read_tokens_iceberg(spark, table: str, reader=None) -> DataFrame:
+    """Read the *input* tokens table from an Iceberg catalog table — the
+    symmetric of write_encoded_iceberg, completing the table-in/table-out
+    contract (the deployment input is an Iceberg table; crumble's S1
+    opens its native container directly, snp_score.c:2561-2564).
+
+    `reader(table) -> DataFrame` is injectable so the path is testable
+    without the Iceberg runtime on the classpath; the default is the
+    catalog read, with the same missing-runtime error classification as
+    the sink."""
+    rd = reader or (lambda t: spark.read.table(t))
+    try:
+        return rd(table)
+    except Exception as e:
+        if _is_missing_runtime(e):
+            _raise_runtime_hint(e)
+        raise
 
 
 def append_lineage_iceberg(lin: DataFrame, table: str, writer_factory=None) -> None:

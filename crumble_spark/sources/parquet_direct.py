@@ -224,6 +224,11 @@ def encode_job_direct(
 
     summary = tasks.mapInPandas(run, schema=SUMMARY_SCHEMA)
     summary.write.mode("append").parquet(lin_dir)
+    # stores from the throughput path must be self-describing too, or
+    # lookup.decode_docs needs a hand-passed n_splits (mismatch risk)
+    from ..sinks import write_store_meta
+
+    write_store_meta(enc_dir, n_splits)
     return spark.read.parquet(lin_dir)
 
 

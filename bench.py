@@ -25,7 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from crumble_spark import synth  # noqa: E402
-from crumble_spark.pipeline import dedup, simsearch, textqc  # noqa: E402
+from crumble_spark.pipeline import curate, dedup, relational, simsearch, textqc  # noqa: E402
 from crumble_spark.session import get_spark  # noqa: E402
 from crumble_spark.sources import parquet_direct  # noqa: E402
 
@@ -102,11 +102,15 @@ def main() -> None:
     queries["q2_decode_verify"] = time.perf_counter() - t0
     assert totals["tokens"] == n_tokens
 
-    # pipeline representatives on the provided sf tables
+    # pipeline representatives on the provided sf tables — one per family
+    # (dedup, ANN, text, relational join/agg, multi-stage curation) so a
+    # regression anywhere in the non-engine half moves a tracked number
     for name, fn in (
         ("q3_dedup_minhash", dedup.q_dedup_minhash),
         ("q4_ann_brute_topk", simsearch.q_ann_brute_topk),
         ("q5_text_fingerprint", textqc.q_fingerprint),
+        ("q6_rel_pricing_summary", relational.q_pricing_summary),
+        ("q7_curation_funnel", curate.q_clean_funnel),
     ):
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()

@@ -86,6 +86,41 @@ def salted_repartition(df: DataFrame, n_parts: int, salt_buckets: int = 64) -> D
     )
 
 
+SALT_BASE = 8  # every source spreads over at least this many buckets
+SALT_CAP = 1024  # and at most this many (bounds the tiny-partition tail)
+
+
+def derive_salt_plan(
+    df: DataFrame, n_parts: int, base: int = SALT_BASE, cap: int = SALT_CAP
+) -> dict[str, int]:
+    """Per-source salt-bucket counts from one aggregate pre-pass (the
+    second half of the percentile discipline behind derive_giant_threshold):
+    a source's share of total TOKENS — the actual encode work — decides how
+    many salt buckets its rows spread over.  A uniform source stays at
+    `base`; one hot unsplittable source gets buckets proportional to the
+    tasks its work should fill (2x headroom), so it cannot pin stragglers.
+    One groupBy over (source) with partial aggregation; the result is a
+    handful of rows (sources are few by construction)."""
+    rows = df.groupBy("source").agg(F.sum(F.col("n_tok").cast("long")).alias("tok")).collect()
+    total = sum(r["tok"] or 0 for r in rows) or 1
+    return {
+        r["source"]: int(min(cap, max(base, -(-((r["tok"] or 0) * 2 * n_parts) // total))))
+        for r in rows
+    }
+
+
+def salted_repartition_by_source(
+    df: DataFrame, n_parts: int, plan: dict[str, int], default: int = SALT_BASE
+) -> DataFrame:
+    """Repartition on (source, per-source salt): each source's rows spread
+    over exactly its planned bucket count.  The plan lookup is a JVM-side
+    map literal — no UDF, deterministic, reproducible plans."""
+    mapping = F.create_map(*[F.lit(x) for kv in plan.items() for x in kv])
+    buckets = F.coalesce(mapping[F.col("source")], F.lit(default))
+    salt = F.pmod(F.xxhash64("doc_id"), buckets)
+    return df.repartition(n_parts, F.col("source"), salt)
+
+
 def _encode_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Kernel for pre-exploded (one row == one block) chunk rows."""
     for pdf in batches:
@@ -177,7 +212,9 @@ def encode_df_skewaware(
     rest.
 
     giant_threshold="auto" derives the threshold from the input's own
-    length distribution (derive_giant_threshold).
+    length distribution (derive_giant_threshold); repartition=True salts
+    per source with data-derived bucket counts (derive_salt_plan), so one
+    hot source spreads over proportionally more tasks than a uniform one.
     """
     if giant_threshold == "auto":
         giant_threshold = derive_giant_threshold(df)
@@ -186,7 +223,7 @@ def encode_df_skewaware(
     if repartition:
         if n_parts is None:
             n_parts = df.sparkSession.sparkContext.defaultParallelism * 4
-        small = salted_repartition(small, n_parts)
+        small = salted_repartition_by_source(small, n_parts, derive_salt_plan(df, n_parts))
     big = df.filter(F.col("n_tok") > giant_threshold)
     enc_small = encode_df(small, block_size=block_size, n_splits=n_splits)
     enc_big = encode_giant_rows(big, block_size=block_size)

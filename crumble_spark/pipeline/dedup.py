@@ -499,6 +499,55 @@ Q_DEDUP_JACCARD_SQL = (
 )
 
 
+def q_jaccard_gram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gram-frequency census: candidate pairs per log2(df) bucket, and how
+    many grams/pairs the GRAM_DF_CAP removes — the observable counterpart
+    of the frequency cap in q_dedup_jaccard (the same discipline as
+    q_lsh_bucket_stats: every bounded-work drop is reported, crumble's
+    depth-cap hit counters, snp_score.c:1496-1498).
+
+    A gram shared by df docs generates df*(df-1)/2 candidate pairs, so
+    this query shows exactly where the quadratic mass sits and how much
+    the cap bites.  One groupBy(gram) then one tiny groupBy(bucket).
+    """
+    e = _doc_grams(spark, sf_dir).select("doc_id", F.explode("grams").alias("gram"))
+    per_gram = e.groupBy("gram").agg(F.count("*").alias("df"))
+    pairs = (F.col("df") * (F.col("df") - 1) / 2).cast("long")
+    capped = F.col("df") > GRAM_DF_CAP
+    return (
+        per_gram.select(
+            F.floor(F.log2("df")).cast("int").alias("df_log2"),
+            F.col("df"),
+            pairs.alias("pairs"),
+            capped.alias("capped"),
+        )
+        .groupBy("df_log2")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum("pairs").alias("n_pairs"),
+            F.sum(F.when(F.col("capped"), 1).otherwise(0)).alias("n_grams_capped"),
+            F.sum(F.when(F.col("capped"), F.col("pairs")).otherwise(0)).alias(
+                "n_pairs_capped"
+            ),
+        )
+    )
+
+
+Q_JACCARD_GRAM_STATS_SQL = (
+    "WITH g AS (SELECT doc_id, "
+    + shared.GRAMS3_SQL.format(ws=shared.WORDS_SQL.format(c="text"))
+    + " AS grams FROM documents), "
+    "e AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE len(grams) > 0), "
+    "pg AS (SELECT gram, count(*) AS df FROM e GROUP BY gram) "
+    "SELECT CAST(floor(log2(df)) AS INTEGER) AS df_log2, "
+    "count(*) AS n_grams, "
+    "CAST(sum(CAST(df * (df - 1) / 2 AS BIGINT)) AS BIGINT) AS n_pairs, "
+    f"CAST(sum(CASE WHEN df > {GRAM_DF_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_grams_capped, "
+    f"CAST(sum(CASE WHEN df > {GRAM_DF_CAP} THEN CAST(df * (df - 1) / 2 AS BIGINT) ELSE 0 END) AS BIGINT) AS n_pairs_capped "
+    "FROM pg GROUP BY 1"
+)
+
+
 def q_dedup_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The production dedup shape: cheap LSH candidate generation, exact
     jaccard verification restricted to candidates BEFORE the expensive
@@ -556,6 +605,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_simhash48_pairs": q_simhash48_pairs,
     "dedup_ngram_jaccard": q_dedup_jaccard,
+    "dedup_jaccard_gram_stats": q_jaccard_gram_stats,
     "dedup_lsh_verified": q_dedup_lsh_verified,
 }
 
@@ -569,4 +619,5 @@ ORACLES = {
     "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
     "dedup_simhash48_pairs": _q_simhash48_sql(),
     "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
+    "dedup_jaccard_gram_stats": Q_JACCARD_GRAM_STATS_SQL,
 }

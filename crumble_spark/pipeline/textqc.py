@@ -202,7 +202,10 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     regexp_count stays JVM-side — no UDF for a per-doc scalar."""
     d = documents(spark, sf_dir)
     words_n = F.regexp_count(F.col("text"), F.lit(r"[A-Za-z0-9_]+"))
-    punct_n = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9_\s]"))
+    # explicit whitespace class, NOT \s: Java regex and DuckDB's RE2
+    # disagree on \s membership (U+000B, Unicode spaces), so the oracle
+    # parity would silently depend on the corpus otherwise
+    punct_n = F.regexp_count(F.col("text"), F.lit(r"[^A-Za-z0-9_ \t\n\r\f\x0b]"))
     return d.select(
         "doc_id",
         words_n.cast("int").alias("n_word_tokens"),
@@ -214,9 +217,9 @@ def q_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q_TOKEN_COUNT_REGEX_SQL = (
     "SELECT doc_id, "
     "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) AS INTEGER) AS n_word_tokens, "
-    "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_punct_tokens, "
+    "CAST(len(regexp_extract_all(text, '[^A-Za-z0-9_ \\t\\n\\r\\f\\x0b]')) AS INTEGER) AS n_punct_tokens, "
     "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+')) "
-    "+ len(regexp_extract_all(text, '[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_regex_tokens "
+    "+ len(regexp_extract_all(text, '[^A-Za-z0-9_ \\t\\n\\r\\f\\x0b]')) AS INTEGER) AS n_regex_tokens "
     "FROM documents"
 )
 

@@ -34,16 +34,26 @@ def hourly_rollup_stream(
     in_dir: str,
     watermark: str = "2 hours",
     query_name: str = "events_hourly_stream",
+    output_mode: str = "append",
+    max_files_per_trigger: int | None = None,
 ):
     """Start the streaming rollup into an in-memory sink; returns the
     StreamingQuery.  availableNow drains what exists and stops — the
     incremental/cron mode; drop the trigger for continuous operation.
 
-    Output mode is `complete` so a bounded test input yields every
-    window; a production continuous run would use `append` (emit once
-    the watermark closes a window) into a real sink.
+    output_mode `append` (default, the production mode) emits a window
+    exactly once, when the watermark passes window_end + delay — that
+    watermark-driven state DROP is what lets this run forever at
+    100 TB/day.  `complete` re-emits every window each trigger (handy
+    for bounded equivalence tests; state never shrinks, so never use it
+    on an unbounded stream).  max_files_per_trigger splits a bounded
+    input into multiple micro-batches so the watermark actually advances
+    between them (append emits nothing if all data lands in one batch).
     """
-    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(in_dir)
+    reader = spark.readStream.schema(EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.parquet(in_dir)
     cents = F.floor(F.col("value") * 100).cast("long")
     agg = (
         stream.withWatermark("ts", watermark)
@@ -58,7 +68,7 @@ def hourly_rollup_stream(
         )
     )
     return (
-        agg.writeStream.outputMode("complete")
+        agg.writeStream.outputMode(output_mode)
         .format("memory")
         .queryName(query_name)
         .trigger(availableNow=True)

@@ -55,3 +55,40 @@ def test_every_query_has_rows_or_documented_empty(spark):
         # dedup_exact is legitimately empty (no full-text dups in testdata)
         if name not in ("dedup_exact",):
             assert n > 0, f"{name} returned no rows"
+
+
+def test_token_count_regex_exotic_whitespace_parity(spark, tmp_path):
+    # U+000B (vertical tab) is inside Java's \s but outside RE2's; the
+    # Unicode spaces (U+00A0, U+2028) are outside both ASCII classes.
+    # The explicit whitespace class keeps both engines in lockstep on a
+    # corpus containing all of them (ADVICE r2: \s divergence).
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crumble_spark.pipeline import textqc
+
+    texts = [
+        "a\x0b.b",
+        "x\u00a0y!",
+        "line\u2028two,",
+        "tab\t; end\r\n",
+        "plain words",
+    ]
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(len(texts))],
+            "text": texts,
+            "source": ["t"] * len(texts),
+        }
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+
+    got = _norm(textqc.q_token_count_regex(spark, str(tmp_path)).toPandas())
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    want = _norm(con.sql(textqc._Q_TOKEN_COUNT_REGEX_SQL).df())
+    want = want.astype(got.dtypes.to_dict())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)

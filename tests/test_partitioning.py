@@ -128,3 +128,36 @@ def test_salted_repartition_spreads_hot_source(spark):
     parts = salted_repartition(df, 8).rdd.glom().map(len).collect()
     assert len(parts) == 8
     assert max(parts) < 2 * (400 / 8)  # no partition hogs the hot source
+
+
+def test_salt_plan_gives_hot_source_more_buckets(spark):
+    # one source carries ~95% of the tokens; its derived salt count must
+    # dominate the uniform source's, and both stay within [base, cap]
+    from crumble_spark.partitioning import (
+        SALT_BASE,
+        SALT_CAP,
+        derive_salt_plan,
+        salted_repartition_by_source,
+    )
+
+    rows = [(f"hot-{i:05d}", [1] * 50, 50, "hot") for i in range(380)] + [
+        (f"cold-{i:05d}", [1] * 5, 5, "cold") for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    plan = derive_salt_plan(df, n_parts=64)
+    assert plan["hot"] > plan["cold"]
+    assert plan["cold"] == SALT_BASE
+    assert all(SALT_BASE <= v <= SALT_CAP for v in plan.values())
+
+    # and the physical spread follows the plan: the hot source's rows land
+    # on more distinct partitions than the cold source's
+    p = salted_repartition_by_source(df, 64, plan).withColumn(
+        "pid", F.spark_partition_id()
+    )
+    spread = {
+        r["source"]: r["n"]
+        for r in p.groupBy("source").agg(F.countDistinct("pid").alias("n")).collect()
+    }
+    assert spread["hot"] > spread["cold"]

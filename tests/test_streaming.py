@@ -55,7 +55,9 @@ def test_windowed_rollup_matches_batch(spark, tmp_path):
 
     os.makedirs(ev_dir)
     shutil.copy("/root/testdata/sf0.001/events.parquet", f"{ev_dir}/part-0.parquet")
-    q = windowed.hourly_rollup_stream(spark, ev_dir, query_name="t_hourly")
+    q = windowed.hourly_rollup_stream(
+        spark, ev_dir, query_name="t_hourly", output_mode="complete"
+    )
     q.awaitTermination()
     got = spark.sql("SELECT * FROM t_hourly")
     want = windowed.batch_rollup(spark, spark.read.parquet(ev_dir))
@@ -65,6 +67,59 @@ def test_windowed_rollup_matches_batch(spark, tmp_path):
     }
     assert key(got) == key(want)
     assert got.count() > 0
+
+
+def test_windowed_rollup_append_mode_emits_closed_windows(spark, tmp_path):
+    # the PRODUCTION path: append mode emits a window exactly once, when
+    # the watermark (max event time - delay) passes window_end; windows
+    # the watermark hasn't closed stay in state and are NOT emitted.
+    # Two files + maxFilesPerTrigger=1 so the watermark advances between
+    # micro-batches (append emits nothing if all data is one batch).
+    import datetime as dt
+    import os
+
+    ev_dir = str(tmp_path / "ev_append")
+    os.makedirs(ev_dir)
+
+    def ev(i, hour, minute, etype, value):
+        ts = dt.datetime(2024, 1, 1) + dt.timedelta(hours=hour, minutes=minute)
+        return (i, ts, i % 7, etype, value, "{}")
+
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    early = [ev(i, h, 10 * (i % 4), "click" if i % 2 else "view", 1.5 * i)
+             for i, h in enumerate([0, 0, 1, 1, 2, 3, 4, 5])]
+    late = [ev(99, 30, 0, "click", 2.0)]  # sentinel: advances the watermark
+    # flat files (the file stream source does not recurse into subdirs),
+    # written through Spark so the timestamp physical type matches the
+    # stream schema, then moved up out of the write directory
+    import glob
+    import shutil
+
+    for name, rows in (("f0", early), ("f1", late)):
+        stage = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=cols), schema=windowed.EVENTS_SCHEMA
+        ).coalesce(1).write.parquet(stage)
+        shutil.move(glob.glob(f"{stage}/part-*.parquet")[0], f"{ev_dir}/{name}.parquet")
+
+    q = windowed.hourly_rollup_stream(
+        spark, ev_dir, query_name="t_hourly_append", max_files_per_trigger=1
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["hour_start"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM t_hourly_append").collect()
+    }
+    # every early window closed (watermark reached hour 28 ≫ hour 6);
+    # the sentinel's own window is still open → withheld from append
+    all_events = spark.read.parquet(f"{ev_dir}/f0.parquet", f"{ev_dir}/f1.parquet")
+    want = {
+        (str(r["hour_start"]), r["event_type"]): (r["n_events"], r["value_cents"])
+        for r in windowed.batch_rollup(spark, all_events).collect()
+        if r["hour_start"] < dt.datetime(2024, 1, 2)
+    }
+    assert got == want and len(got) > 0
+    assert not any(k[0].startswith("2024-01-02") for k in got)
 
 
 def test_stateful_dedup_across_batches(spark, tmp_path):
@@ -102,6 +157,38 @@ def test_stateful_dedup_across_batches(spark, tmp_path):
     # numeric min must win even though '10' < '3' lexicographically
     assert uniq2.filter("doc_id = '3'").count() == 1
     assert uniq2.filter("doc_id = '10'").count() == 0
+
+
+def test_stateful_dedup_ttl_expires_and_reemits(spark, tmp_path):
+    # with a processing-time TTL, a hash idle past the TTL is forgotten:
+    # the expiry fires in a batch where the key has NO data, and a later
+    # duplicate then re-emits (the bounded-state trade-off, explicit)
+    import time
+
+    in_dir = str(tmp_path / "ttl_in")
+    out = str(tmp_path / "ttl_out")
+
+    def docs(rows):
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+        )
+
+    docs([(1, "alpha beta", "en", "web", 10)]).write.mode("append").parquet(in_dir)
+    stateful.dedup_stream(spark, in_dir, out, ttl="1 seconds")
+    assert spark.read.parquet(f"{out}/unique").count() == 1
+
+    time.sleep(2)  # let the 1s TTL lapse in processing time
+    # batch with unrelated data: the idle hash times out here and is removed
+    docs([(2, "gamma delta", "en", "web", 11)]).write.mode("append").parquet(in_dir)
+    stateful.dedup_stream(spark, in_dir, out, ttl="1 seconds")
+
+    # the duplicate of the expired hash re-emits in a later batch
+    docs([(7, "alpha beta", "en", "web", 10)]).write.mode("append").parquet(in_dir)
+    stateful.dedup_stream(spark, in_dir, out, ttl="1 seconds")
+    uniq = spark.read.parquet(f"{out}/unique")
+    alpha = uniq.filter("text_hash = md5('alpha beta')")
+    assert {r["doc_id"] for r in alpha.collect()} == {"1", "7"}
+    assert uniq.count() == 3
 
 
 def test_ingest_refuses_legacy_flat_layout(spark, tmp_path):

@@ -44,7 +44,8 @@ def candidate_sizes(st: stats.BlockStats) -> dict[int, int]:
     sizes[codecs.DELTA_BP] = delta.size(st.n, st.max_zigzag)
     dict_lower_bound = dictionary.full_size(2, st.n)
     if dict_lower_bound < min(sizes.values()):
-        st._dict_plan = dictionary.plan(st.counts_desc, st.n)
+        if st._dict_plan is None:
+            st._dict_plan = dictionary.plan(st.counts_desc, st.n)
         sizes[codecs.DICT] = st._dict_plan[2]
     return sizes
 

@@ -22,6 +22,16 @@ from . import DEFAULT_BLOCK_SIZE, cost, hashing
 from . import codecs as codecs_mod
 from .schema import ENCODED_SCHEMA
 
+# the fused loop hashes (and stores RAW payloads from) chunk.tobytes() in
+# native byte order, while hashing.block_hash and the decode side pin
+# '<i4'; the zero-copy fast path is only valid on little-endian hosts
+import sys as _sys
+
+assert _sys.byteorder == "little", (
+    "crumble_spark's on-disk format and row hashes are little-endian; "
+    "big-endian hosts would need explicit '<i4' views in encode_flat"
+)
+
 BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
 # bounded-memory guard: one kernel slice never holds more than this many
 # tokens, regardless of how many giant rows share an Arrow batch
@@ -37,6 +47,136 @@ def _widths(v: np.ndarray) -> np.ndarray:
     nz = v > 0
     w[nz] = np.floor(np.log2(v[nz])).astype(np.int64) + 1
     return w
+
+
+def _batch_slow_plans(rvals, seg_len, rb, rb_end, blen, vmin, vmax, slow_sel):
+    """Whole-batch uniquing + dictionary planning for every slow-path
+    block at once.
+
+    Blocks are split into the SAME three classes as
+    stats._materialize_counts — narrow value range (bincount), unit runs
+    (plain sort; all weights 1), general (argsort + segmented sum) — so
+    every block's (values, counts) are computed by the same algorithm it
+    would have used per-block, just batched: one global bincount with
+    per-block key offsets, one direct sort / argsort of a combined
+    (block_rank << 33 | value-vmin) key.  The dict plan (top-k powers of
+    two + escape, dictionary.plan) is then evaluated once per k over
+    vectors; descending-count prefix sums come from only the counts > 1
+    (few by construction: low-card blocks have few distinct values,
+    high-entropy blocks have few duplicates), with the run of trailing
+    1-counts handled arithmetically.
+
+    Returns (vals_by_class, cnts_by_class, and per-slow-block lists:
+    class id, slice start/end into that class's arrays, plan k /
+    use_escape / exact size).
+    """
+    from .codecs.dictionary import MAX_TABLE as _DICT_MAX
+
+    n_slow = len(slow_sel)
+    nruns = (rb_end - rb)[slow_sel]
+    vr = (vmax - vmin)[slow_sel]
+    nb_ = blen[slow_sel]
+    narrow = vr < 4 * nruns
+    unit = (~narrow) & (nruns == nb_)
+    rest = ~narrow & ~unit
+    _SHIFT = np.int64(33)  # value - vmin < 2^33 for any int32 block
+    _BIG = np.int64(1) << 62
+
+    vals_by_class: list = [None, None, None]
+    cnts_by_class: list = [None, None, None]
+    grp = np.empty(n_slow, np.int64)
+    ds = np.empty(n_slow, np.int64)
+    de = np.empty(n_slow, np.int64)
+    pk = np.empty(n_slow, np.int64)
+    pesc = np.zeros(n_slow, bool)
+    psz = np.empty(n_slow, np.int64)
+
+    def gather(cls_mask):
+        idx = slow_sel[cls_mask]
+        rp = rb_end[idx] - rb[idx]
+        lab = np.repeat(np.arange(len(idx)), rp)
+        cum = np.concatenate(([0], np.cumsum(rp)[:-1]))
+        sel = np.arange(int(rp.sum())) - cum[lab] + rb[idx][lab]
+        return idx, lab, sel
+
+    def plan_and_store(cls_id, cls_mask, gv, gc, blk, nblk):
+        vals_by_class[cls_id] = gv
+        cnts_by_class[cls_id] = gc
+        dstart = np.searchsorted(blk, np.arange(nblk))
+        dend = np.concatenate((dstart[1:], [len(blk)]))
+        card = dend - dstart
+        n = blen[slow_sel[cls_mask]]
+        # descending-count prefix sums from the counts > 1 only
+        bigm = gc > 1
+        bblk = blk[bigm]
+        border = np.lexsort((-gc[bigm], bblk))
+        bcnt_s = gc[bigm][border]
+        bstart = np.searchsorted(bblk[border], np.arange(nblk))
+        bend = np.concatenate((bstart[1:], [len(bcnt_s)]))
+        nbig = bend - bstart
+        bcum = np.concatenate(([0], np.cumsum(bcnt_s)))
+        full_sz = 4 + 4 * card + (n * _widths(card - 1) + 7) // 8
+        best_sz = np.where(card <= _DICT_MAX, full_sz, _BIG)
+        best_k = card.astype(np.int64)
+        best_esc = np.zeros(nblk, bool)
+        k = 1
+        while k < _DICT_MAX:
+            kmask = (card > 1) & (k < np.minimum(card, _DICT_MAX))
+            topk = (
+                bcum[bstart + np.minimum(k, nbig)]
+                - bcum[bstart]
+                + np.maximum(0, k - nbig)
+            )
+            sz = 8 + 4 * k + (n * int(k).bit_length() + 7) // 8 + 4 * (n - topk)
+            upd = kmask & (sz < best_sz)
+            best_k = np.where(upd, k, best_k)
+            best_esc = np.where(upd, True, best_esc)
+            best_sz = np.where(upd, sz, best_sz)
+            k <<= 1
+        grp[cls_mask] = cls_id
+        ds[cls_mask] = dstart
+        de[cls_mask] = dend
+        pk[cls_mask] = best_k
+        pesc[cls_mask] = best_esc
+        psz[cls_mask] = best_sz
+
+    if narrow.any():
+        idx, lab, sel = gather(narrow)
+        vmin_c = vmin[idx]
+        off = np.concatenate(([0], np.cumsum(vr[narrow] + 1)))
+        key = off[lab] + (rvals[sel] - vmin_c[lab])
+        cnt = np.bincount(key, weights=seg_len[sel], minlength=int(off[-1]))
+        nz = np.flatnonzero(cnt)
+        blk = np.searchsorted(off, nz, side="right") - 1
+        plan_and_store(
+            0, narrow, (nz - off[blk]) + vmin_c[blk], cnt[nz].astype(np.int64),
+            blk, len(idx),
+        )
+    if unit.any():
+        idx, lab, sel = gather(unit)
+        vmin_c = vmin[idx]
+        ks = np.sort((lab << _SHIFT) + (rvals[sel] - vmin_c[lab]))
+        gstart = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        blk = ks[gstart] >> _SHIFT
+        gv = (ks[gstart] - (blk << _SHIFT)) + vmin_c[blk]
+        gc = np.diff(np.concatenate((gstart, [len(ks)])))
+        plan_and_store(1, unit, gv, gc, blk, len(idx))
+    if rest.any():
+        idx, lab, sel = gather(rest)
+        vmin_c = vmin[idx]
+        key = (lab << _SHIFT) + (rvals[sel] - vmin_c[lab])
+        order = np.argsort(key)
+        ks = key[order]
+        gstart = np.flatnonzero(np.concatenate(([True], ks[1:] != ks[:-1])))
+        blk = ks[gstart] >> _SHIFT
+        gv = (ks[gstart] - (blk << _SHIFT)) + vmin_c[blk]
+        gc = np.add.reduceat(seg_len[sel][order], gstart)
+        plan_and_store(2, rest, gv, gc, blk, len(idx))
+
+    return (
+        vals_by_class, cnts_by_class, grp.tolist(), ds.tolist(), de.tolist(),
+        pk.tolist(), pesc.tolist(), psz.tolist(),
+    )
 
 
 def encode_flat(
@@ -124,6 +264,24 @@ def encode_flat(
     slow_mask = (~const_mask) & ((dict_lb < best_cheap) | (best_cheap * 8 > blen))
 
     rb_end = np.concatenate((rb[1:], [len(all_starts)]))
+
+    # batched slow-path dict machinery: per-block value/count uniquing,
+    # descending-count planning and the power-of-two dict plan were the
+    # dominant per-block Python cost (~7k of 16k blocks on the mixed
+    # corpus take this path).  _batch_slow_plans computes all of it in a
+    # handful of whole-batch numpy ops, class-split exactly like
+    # stats._materialize_counts so each block pays the same algorithm it
+    # would have per-block — byte-identical output, golden-pinned.
+    slow_sel = np.flatnonzero(slow_mask & ~force_raw[block_row])
+    if len(slow_sel):
+        slow_batch = _batch_slow_plans(
+            rvals, seg_len, rb, rb_end, blen, vmin, vmax, slow_sel
+        )
+        slow_pos = np.full(total, -1, np.int64)
+        slow_pos[slow_sel] = np.arange(len(slow_sel))
+        slow_pos_l = slow_pos.tolist()
+        (sb_vals, sb_cnts, sb_grp_l, sb_ds_l, sb_de_l,
+         sb_k_l, sb_esc_l, sb_sz_l) = slow_batch
     from . import stats as stats_mod  # local import avoids a cycle
     from .codecs import constant as constant_mod
     from .codecs import delta_bp as delta_mod
@@ -189,6 +347,7 @@ def encode_flat(
         elif c == 1:
             cid, payload = CONSTANT, constant_mod.encode(chunk)
         else:  # slow path: dict / fsst / tile candidates in play
+            sp = slow_pos_l[b]
             st = stats_mod.BlockStats(
                 n=n_b,
                 vmin=vmin_l[b],
@@ -199,6 +358,11 @@ def encode_flat(
                 max_zigzag=int(zzmax[b]),
                 _rvals=rvals[rb_l[b] : rb_end_l[b]],
                 _lengths=seg_len[rb_l[b] : rb_end_l[b]],
+                # batch-derived uniquing + dict plan (byte-identical to the
+                # per-block derivation; see _batch_slow_plans)
+                _values=sb_vals[sb_grp_l[sp]][sb_ds_l[sp] : sb_de_l[sp]],
+                _counts=sb_cnts[sb_grp_l[sp]][sb_ds_l[sp] : sb_de_l[sp]],
+                _dict_plan=(sb_k_l[sp], sb_esc_l[sp], sb_sz_l[sp]),
             )
             cid, payload = cost.choose_with_stats(chunk, st)
         if c >= 4 and len(payload) != best_cheap_l[b]:

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import textqc
+from . import shared, textqc
 from .dedup import Q_DEDUP_EXACT_SQL, q_dedup_exact
 
 QUALITY_MIN_E6 = 500_000  # keep docs scoring >= 0.5
@@ -98,12 +98,67 @@ def _q_clean_funnel_sql() -> str:
     )
 
 
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: training docs sharing any word
+    8-gram with the held-out eval split, with hit counts — the
+    decontamination pass every pretraining pipeline runs before a corpus
+    ships (nothing the benchmark contains may leak into training).
+
+    The eval split stands in for a real benchmark set: docs whose
+    md5(doc_id) starts with '0' (deterministic ~1/16 of the corpus; in
+    production the eval grams come from the actual benchmark files).
+
+    Scale shape: distinct 8-grams explode → one equi-join on the gram
+    string.  The eval side is benchmark-sized (thousands of grams, not
+    corpus-sized), so AQE broadcasts it; the train side is one scan, and
+    per-doc distinct grams bound the fanout.
+    """
+    d = textqc.documents(spark, sf_dir).select(
+        "doc_id", shared.words(F.col("text")).alias("ws")
+    )
+    g = d.select("doc_id", shared.grams8(F.col("ws")).alias("grams")).filter(
+        F.size("grams") > 0
+    )
+    is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
+    eval_grams = (
+        g.filter(is_eval).select(F.explode("grams").alias("gram")).distinct()
+    )
+    train = g.filter(~is_eval).select(
+        "doc_id",
+        F.size("grams").alias("n_grams"),
+        F.explode("grams").alias("gram"),
+    )
+    return (
+        train.join(eval_grams, "gram")
+        .groupBy("doc_id", "n_grams")
+        .agg(F.count("*").cast("int").alias("n_hit_grams"))
+        .select("doc_id", "n_hit_grams", F.col("n_grams").cast("int").alias("n_grams"))
+    )
+
+
+def _q_contamination_sql() -> str:
+    grams = shared.GRAMS8_SQL.format(ws=shared.WORDS_SQL.format(c="text"))
+    return (
+        f"WITH g AS (SELECT doc_id, {grams} AS grams FROM documents), "
+        "f AS (SELECT doc_id, grams, len(grams) AS n_grams FROM g WHERE len(grams) > 0), "
+        "e AS (SELECT DISTINCT unnest(grams) AS gram FROM f "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0'), "
+        "t AS (SELECT doc_id, n_grams, unnest(grams) AS gram FROM f "
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <> '0') "
+        "SELECT t.doc_id, CAST(count(*) AS INTEGER) AS n_hit_grams, "
+        "CAST(t.n_grams AS INTEGER) AS n_grams "
+        "FROM t JOIN e ON e.gram = t.gram GROUP BY t.doc_id, t.n_grams"
+    )
+
+
 QUERIES = {
     "corpus_clean_manifest": q_clean_manifest,
     "corpus_clean_funnel": q_clean_funnel,
+    "corpus_contamination": q_contamination,
 }
 
 ORACLES = {
     "corpus_clean_manifest": _q_clean_manifest_sql(),
     "corpus_clean_funnel": _q_clean_funnel_sql(),
+    "corpus_contamination": _q_contamination_sql(),
 }

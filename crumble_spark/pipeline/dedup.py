@@ -596,6 +596,88 @@ Q_DEDUP_LSH_VERIFIED_SQL = (
 )
 
 
+# --- near-dup clustering (connected components) ------------------------------
+
+CLUSTER_MAX_ITERS = 50
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-dup pair graph: each doc in any
+    pair gets its component's min doc_id as cluster_rep (the survivor a
+    dedup pass would keep) plus the component size.
+
+    The step every real dedup pipeline runs AFTER pair generation —
+    near-dup is transitive in effect (A~B, B~C ⇒ one keeper for
+    {A,B,C}) even when A~C wasn't itself emitted.
+
+    Algorithm: min-label propagation to fixpoint.  Each round is one
+    equi-join + groupBy(min) shuffle on doc_id; rounds = component
+    diameter, which for near-dup clusters is small (dup clusters are
+    dense).  Lineage is truncated per round (localCheckpoint) so the
+    plan doesn't grow with iterations.  An adversarially chained graph
+    at 10^12 rows would want the O(log n)-round large-star/small-star
+    contraction instead; the fixpoint loop keeps the semantics exact and
+    oracle-checkable (DuckDB recursive CTE).
+    """
+    pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("lab", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(CLUSTER_MAX_ITERS):
+        nbr = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
+        ).select(F.col("doc_a").alias("doc_id"), "lab")
+        new = (
+            labels.unionByName(nbr)
+            .groupBy("doc_id")
+            .agg(F.min("lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"label propagation did not converge in {CLUSTER_MAX_ITERS} rounds"
+        )
+    w = Window.partitionBy("lab")
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster_rep"),
+        F.count("*").over(w).cast("int").alias("cluster_size"),
+    )
+
+
+def _q_dedup_clusters_sql() -> str:
+    return (
+        "WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ("
+        + _q_simhash48_sql()
+        + ")), "
+        "edges AS (SELECT doc_a AS s, doc_b AS d FROM p "
+        "UNION SELECT doc_b, doc_a FROM p), "
+        "reach(node, lab) AS ("
+        "SELECT s, s FROM edges "
+        "UNION "
+        "SELECT e.s, r.lab FROM edges e JOIN reach r ON r.node = e.d), "
+        "comp AS (SELECT node AS doc_id, min(lab) AS cluster_rep FROM reach GROUP BY node) "
+        "SELECT doc_id, cluster_rep, "
+        "CAST(count(*) OVER (PARTITION BY cluster_rep) AS INTEGER) AS cluster_size "
+        "FROM comp"
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_prefix": q_dedup_prefix,
@@ -607,6 +689,7 @@ QUERIES = {
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_jaccard_gram_stats": q_jaccard_gram_stats,
     "dedup_lsh_verified": q_dedup_lsh_verified,
+    "dedup_clusters": q_dedup_clusters,
 }
 
 ORACLES = {
@@ -620,4 +703,5 @@ ORACLES = {
     "dedup_simhash48_pairs": _q_simhash48_sql(),
     "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
     "dedup_jaccard_gram_stats": Q_JACCARD_GRAM_STATS_SQL,
+    "dedup_clusters": _q_dedup_clusters_sql(),
 }

@@ -76,3 +76,26 @@ GRAMS3_SQL = (
     "generate_series(1, len({ws}) - 2), "
     "i -> {ws}[i] || ' ' || {ws}[i+1] || ' ' || {ws}[i+2]))"
 )
+
+GRAM8_N = 8  # benchmark-contamination window (the usual 8-13 gram check)
+
+
+def grams8(ws: Column) -> Column:
+    """Distinct word 8-grams, built by folding zip_with over shifted
+    slices (same O(words) discipline as grams3 — never element_at inside
+    a transform lambda).  Empty for docs under 8 words."""
+    acc = ws
+    for j in range(2, GRAM8_N + 1):
+        acc = F.zip_with(
+            acc,
+            F.slice(ws, j, F.size(ws)),
+            lambda g, w: F.when(w.isNotNull(), F.concat(g, F.lit(" "), w)),
+        )
+    return F.array_distinct(F.filter(acc, lambda g: g.isNotNull()))
+
+
+GRAMS8_SQL = (
+    "list_distinct(list_transform("
+    f"generate_series(1, len({{ws}}) - {GRAM8_N - 1}), "
+    "i -> " + " || ' ' || ".join(f"{{ws}}[i+{d}]" for d in range(GRAM8_N)) + "))"
+)

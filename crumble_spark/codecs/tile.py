@@ -49,9 +49,15 @@ def majority_pattern(a: np.ndarray, p: int) -> np.ndarray:
 
 
 def exceptions_for(a: np.ndarray, pat: np.ndarray) -> int:
-    n = len(a)
-    tiled = np.tile(pat, n // len(pat) + 1)[:n]
-    return int(np.count_nonzero(a != tiled))
+    # count mismatches against the implied tiling without materializing
+    # it: whole repetitions as one 2-D broadcast compare, tail separately
+    # (this runs once per candidate divisor in the period scan)
+    n, p = len(a), len(pat)
+    full = n // p
+    cnt = int(np.count_nonzero(a[: full * p].reshape(full, p) != pat))
+    if n > full * p:
+        cnt += int(np.count_nonzero(a[full * p :] != pat[: n - full * p]))
+    return cnt
 
 
 def best_period(a: np.ndarray, max_period: int = MAX_PERIOD) -> tuple[int, int]:

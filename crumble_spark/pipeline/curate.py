@@ -17,25 +17,46 @@ natural key both sides are derived from).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from . import shared, textqc
-from .dedup import Q_DEDUP_EXACT_SQL, q_dedup_exact
+from .dedup import Q_DEDUP_EXACT_SQL
 
 QUALITY_MIN_E6 = 500_000  # keep docs scoring >= 0.5
 KEEP_LANGS = ("en",)
 
 
+def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every gate's value computed in ONE scan of documents: quality and
+    langid are the oracled expressions re-used as columns (identical
+    floor-scaled values by construction), and the exact-dedup survivor
+    flag is rn == 1 over the text-hash window — a doc is on
+    q_dedup_exact's drop list iff rn > 1, so the anti-join collapses to
+    a filter.  One scan + one window shuffle replaces the r2 shape's
+    ~6 scans and two joins."""
+    d = textqc.documents(spark, sf_dir)
+    q = textqc.quality_exprs(F.col("text"), shared.words(F.col("text")))
+    _, pred = textqc.langid_profile_exprs(shared.words(F.col("text")))
+    base = d.select(
+        "doc_id",
+        F.floor(q["score"] * 1_000_000).cast("long").alias("quality_e6"),
+        pred.alias("lang_pred"),
+        F.md5("text").alias("text_hash"),
+    )
+    rn = F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id"))
+    return base.withColumn("rn", rn)
+
+
 def q_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_ids that survive the full cleaning funnel, with their scores."""
-    quality = textqc.q_text_quality(spark, sf_dir).select("doc_id", "quality_e6")
-    lang = textqc.q_langid_profiles(spark, sf_dir).select("doc_id", "lang_pred")
-    drop = q_dedup_exact(spark, sf_dir).select("doc_id")
     return (
-        quality.filter(F.col("quality_e6") >= QUALITY_MIN_E6)
-        .join(lang.filter(F.col("lang_pred").isin(*KEEP_LANGS)), "doc_id")
-        .join(drop, "doc_id", "left_anti")
+        _doc_flags(spark, sf_dir)
+        .filter(
+            (F.col("quality_e6") >= QUALITY_MIN_E6)
+            & F.col("lang_pred").isin(*KEEP_LANGS)
+            & (F.col("rn") == 1)
+        )
         .select("doc_id", "quality_e6", "lang_pred")
     )
 
@@ -59,26 +80,21 @@ def _q_clean_manifest_sql() -> str:
 def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage-by-stage survivor counts (the report a curation run emits:
     how many docs each gate removed — crumble's end-of-run counters).
-    Fully lazy: one DataFrame of unioned aggregates, no driver-side
-    .count() actions — the caller (driver / a scheduler) decides when
-    the single job runs."""
-
-    def stage(name: str, df: DataFrame) -> DataFrame:
-        return df.agg(F.count("*").alias("n_docs")).select(
-            F.lit(name).alias("stage"), "n_docs"
-        )
-
-    quality = textqc.q_text_quality(spark, sf_dir).filter(
-        F.col("quality_e6") >= QUALITY_MIN_E6
+    One conditional aggregation over the single-scan flags table, then a
+    4-row unpivot — no unions of re-scans, no driver-side actions."""
+    f = _doc_flags(spark, sf_dir)
+    q_ok = F.col("quality_e6") >= QUALITY_MIN_E6
+    l_ok = F.col("lang_pred").isin(*KEEP_LANGS)
+    agg = f.agg(
+        F.count("*").alias("c0"),
+        F.sum(q_ok.cast("long")).alias("c1"),
+        F.sum(l_ok.cast("long")).alias("c2"),
+        F.sum((q_ok & l_ok & (F.col("rn") == 1)).cast("long")).alias("c3"),
     )
-    lang = textqc.q_langid_profiles(spark, sf_dir).filter(
-        F.col("lang_pred").isin(*KEEP_LANGS)
-    )
-    return (
-        stage("0_total", textqc.documents(spark, sf_dir))
-        .unionByName(stage("1_quality", quality))
-        .unionByName(stage("2_lang", lang))
-        .unionByName(stage("3_clean", q_clean_manifest(spark, sf_dir)))
+    return agg.select(
+        F.expr(
+            "stack(4, '0_total', c0, '1_quality', c1, '2_lang', c2, '3_clean', c3)"
+        ).alias("stage", "n_docs")
     )
 
 

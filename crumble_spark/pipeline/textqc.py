@@ -46,16 +46,13 @@ def _stop_ratio_sql(ws_sql: str, stoplist) -> str:
     )
 
 
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length/stopword/mean-word-length quality features + composite score.
-
-    score = 0.4*min(1, n_words/80) + 0.4*stop_ratio*4 (capped at 0.4)
-          + 0.2*(mean_word_len between 3 and 8)
-    """
-    d = documents(spark, sf_dir)
-    ws = shared.words(F.col("text"))
+def quality_exprs(text: F.Column, ws: F.Column) -> dict:
+    """The quality feature expressions over (text, words) columns —
+    exposed so composites (curate) can compute them in the SAME scan
+    instead of re-joining q_text_quality's output; values are identical
+    by construction (same expressions, same floor scaling)."""
     n_words = F.size(ws)
-    letters = F.length(F.regexp_replace(F.col("text"), " ", ""))
+    letters = F.length(F.regexp_replace(text, " ", ""))
     mean_wl = letters / F.greatest(n_words, F.lit(1))
     stop = _stop_ratio(ws, STOP_EN)
     score = (
@@ -63,12 +60,23 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.least(stop * 4, F.lit(1.0)) * 0.4
         + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
     )
+    return {"n_words": n_words, "mean_wl": mean_wl, "stop": stop, "score": score}
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/mean-word-length quality features + composite score.
+
+    score = 0.4*min(1, n_words/80) + 0.4*stop_ratio*4 (capped at 0.4)
+          + 0.2*(mean_word_len between 3 and 8)
+    """
+    d = documents(spark, sf_dir)
+    e = quality_exprs(F.col("text"), shared.words(F.col("text")))
     return d.select(
         "doc_id",
-        n_words.cast("int").alias("n_words"),
-        F.floor(mean_wl * 1_000_000).cast("long").alias("mean_wl_e6"),
-        F.floor(stop * 1_000_000).cast("long").alias("stop_ratio_e6"),
-        F.floor(score * 1_000_000).cast("long").alias("quality_e6"),
+        e["n_words"].cast("int").alias("n_words"),
+        F.floor(e["mean_wl"] * 1_000_000).cast("long").alias("mean_wl_e6"),
+        F.floor(e["stop"] * 1_000_000).cast("long").alias("stop_ratio_e6"),
+        F.floor(e["score"] * 1_000_000).cast("long").alias("quality_e6"),
     )
 
 
@@ -125,14 +133,10 @@ def _q_langid_sql() -> str:
     )
 
 
-def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-language ID over per-language frequency profiles: score each
-    profile as the doc's hit ratio against that language's function words,
-    argmax with an alphabetical tie-break, 'unk' below LANG_MIN_SCORE.
-    Pure Catalyst (one pass over the words array per profile), so the
-    whole classifier is a projection — no shuffle, no UDF."""
-    d = documents(spark, sf_dir)
-    ws = shared.words(F.col("text"))
+def langid_profile_exprs(ws: F.Column) -> tuple[dict, F.Column]:
+    """({lang: score_col}, lang_pred_col) over a words column — exposed
+    for single-scan composites (curate); identical expressions to
+    q_langid_profiles."""
     langs = sorted(LANG_PROFILES)
     scores = {lang: _stop_ratio(ws, LANG_PROFILES[lang]) for lang in langs}
     mx = F.greatest(*[scores[lang] for lang in langs])
@@ -140,9 +144,20 @@ def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for lang in reversed(langs):  # alphabetical-first wins ties
         pick = F.when(scores[lang] == mx, F.lit(lang)).otherwise(pick)
     pred = F.when(mx < LANG_MIN_SCORE, F.lit("unk")).otherwise(pick)
+    return scores, pred
+
+
+def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-language ID over per-language frequency profiles: score each
+    profile as the doc's hit ratio against that language's function words,
+    argmax with an alphabetical tie-break, 'unk' below LANG_MIN_SCORE.
+    Pure Catalyst (one pass over the words array per profile), so the
+    whole classifier is a projection — no shuffle, no UDF."""
+    d = documents(spark, sf_dir)
+    scores, pred = langid_profile_exprs(shared.words(F.col("text")))
     cols = [
         F.floor(scores[lang] * 1_000_000).cast("long").alias(f"{lang}_score_e6")
-        for lang in langs
+        for lang in sorted(LANG_PROFILES)
     ]
     return d.select("doc_id", *cols, pred.alias("lang_pred"))
 

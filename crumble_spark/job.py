@@ -95,7 +95,9 @@ def run_encode_job(
         return (lambda d: writer_factory(d, table)) if writer_factory else None
 
     if sink == "iceberg":
-        sinks.write_encoded_iceberg(enc, out_dir, run_id, writer_factory=wf(out_dir))
+        sinks.write_encoded_iceberg(
+            enc, out_dir, run_id, writer_factory=wf(out_dir), n_splits=cfg.n_splits
+        )
         enc_written = read_table(out_dir)
     else:
         sinks.write_encoded_parquet(enc, enc_dir, n_splits=cfg.n_splits)

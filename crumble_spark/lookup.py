@@ -64,3 +64,50 @@ def decode_docs(
         .filter(F.col("doc_id").isin(doc_ids))
     )
     return decode_df(enc, verify=verify)
+
+
+def decode_docs_table(
+    spark: SparkSession,
+    table: str,
+    doc_ids: list[str],
+    n_splits: int | None = None,
+    verify: bool = True,
+    reader=None,
+    snapshots_reader=None,
+) -> DataFrame:
+    """decode_docs for an Iceberg-cataloged store: the split_id IN-filter
+    prunes at Iceberg partition level (manifests, not file listing), the
+    doc_id filter lands on row groups.
+
+    n_splits defaults to the `crumble.n_splits` snapshot property the
+    encode job stamped (the catalog twin of the parquet sidecar) — read
+    from `{table}.snapshots`, newest snapshot that carries it.  `reader`
+    / `snapshots_reader` are injectable for runtime-free tests."""
+    if n_splits is None:
+        sr = snapshots_reader or (lambda: spark.read.table(f"{table}.snapshots"))
+        rows = (
+            sr()
+            .select(
+                "committed_at",
+                F.element_at(F.col("summary"), "crumble.n_splits").alias("ns"),
+            )
+            .filter(F.col("ns").isNotNull())
+            .orderBy(F.desc("committed_at"))
+            .limit(1)
+            .collect()
+        )
+        if not rows:
+            raise ValueError(
+                f"no snapshot of {table} carries crumble.n_splits; pass "
+                "n_splits= explicitly (it must equal the encoder's value "
+                "or lookups will silently miss)"
+            )
+        n_splits = int(rows[0]["ns"])
+    rd = reader or (lambda t: spark.read.table(t))
+    splits = sorted({split_of(d, n_splits) for d in doc_ids})
+    enc = (
+        rd(table)
+        .filter(F.col("split_id").isin(splits))
+        .filter(F.col("doc_id").isin(doc_ids))
+    )
+    return decode_df(enc, verify=verify)

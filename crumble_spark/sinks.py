@@ -119,13 +119,17 @@ def write_encoded_iceberg(
     table: str,
     run_id: str,
     writer_factory=None,
+    n_splits: int | None = None,
 ) -> None:
     """Write the encoded table to an Iceberg table, idempotently per split.
 
     `overwritePartitions` replaces exactly the split_id partitions present
     in `enc` (Iceberg's dynamic overwrite) — re-running a failed range is
-    a pure replacement, and every snapshot's summary records the run_id
-    and engine version (queryable via the table's `.snapshots` metadata).
+    a pure replacement, and every snapshot's summary records the run_id,
+    engine version, and split-routing parameter (queryable via the
+    table's `.snapshots` metadata; lookup.decode_docs_table reads
+    n_splits back from there, the catalog twin of the parquet store's
+    `_crumble_meta.json` sidecar).
 
     writer_factory(df) -> DataFrameWriterV2 is injectable so the control
     flow is unit-testable without the Iceberg runtime on the classpath.
@@ -136,6 +140,8 @@ def write_encoded_iceberg(
         .option("snapshot-property.crumble.run_id", run_id)
         .option("snapshot-property.crumble.engine", "crumble_spark")
     )
+    if n_splits is not None:
+        w = w.option("snapshot-property.crumble.n_splits", str(n_splits))
     try:
         w.overwritePartitions()
     except Exception as e:
@@ -143,14 +149,16 @@ def write_encoded_iceberg(
             # first run: create the table partitioned by split_id so every
             # later overwritePartitions stays split-scoped
             try:
-                (
+                cw = (
                     factory(enc)
                     .using("iceberg")
                     .partitionedBy(F.col("split_id"))
                     .option("snapshot-property.crumble.run_id", run_id)
                     .option("snapshot-property.crumble.engine", "crumble_spark")
-                    .create()
                 )
+                if n_splits is not None:
+                    cw = cw.option("snapshot-property.crumble.n_splits", str(n_splits))
+                cw.create()
             except Exception as e2:
                 if _is_missing_runtime(e2):
                     _raise_runtime_hint(e2)

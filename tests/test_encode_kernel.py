@@ -63,3 +63,49 @@ def test_encode_tokens_block_structure():
     out, h = decode_blocks(blocks, verify=True)
     np.testing.assert_array_equal(out, a)
     assert h == rh
+
+
+def test_batched_slow_path_matches_per_block_choose():
+    # encode_flat's _batch_slow_plans must reproduce the per-block
+    # cost.choose decision AND payload bytes exactly, for every regime
+    # and for blocks that straddle the narrow/unit/general uniquing
+    # classes — this is the direct equivalence pin for the r3 batching
+    import numpy as np
+
+    from crumble_spark import cost, synth
+    from crumble_spark.encode import encode_flat
+
+    rng = np.random.default_rng(7)
+    arrs = []
+    for i in range(120):
+        regime = synth.REGIMES[i % len(synth.REGIMES)]
+        arrs.append(synth.gen_tokens(rng, regime, int(rng.integers(8, 1500))).astype(np.int32))
+    # adversarial extremes for the class split
+    arrs.append(np.arange(1000, dtype=np.int32) * 7919)          # unit runs, wide range
+    arrs.append(np.repeat(np.arange(5, dtype=np.int32), 100))     # narrow, few runs
+    arrs.append(rng.integers(-(2**31), 2**31 - 1, 600).astype(np.int32))  # full int32 span
+    flat = np.concatenate(arrs)
+    offsets = np.concatenate(([0], np.cumsum([len(a) for a in arrs]))).astype(np.int64)
+
+    from crumble_spark import codecs
+
+    for block_size in (64, 512, 4096):
+        blocks_per_row, _, _ = encode_flat(flat, offsets, block_size)
+        for row, a in enumerate(arrs):
+            for b in blocks_per_row[row]:
+                s = b["block_id"] * block_size
+                chunk = a[s : s + block_size]
+                cid, payload = cost.choose(chunk)
+                if (cid, payload) != (b["codec_id"], b["payload"]):
+                    # the ONE documented divergence: exact size ties may
+                    # pick different codec ids (encode_flat routes
+                    # constant blocks before the argmin) — sizes must
+                    # tie and both must invert bit-identically
+                    assert len(payload) == len(b["payload"]), (
+                        row, b["block_id"], block_size, cid, b["codec_id"])
+                    np.testing.assert_array_equal(
+                        codecs.decode(b["codec_id"], b["payload"], b["n"]), chunk
+                    )
+                    np.testing.assert_array_equal(
+                        codecs.decode(cid, payload, len(chunk)), chunk
+                    )

@@ -57,3 +57,48 @@ def test_lookup_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "split_id" in plan.split("PartitionFilters")[1][:120]
     # and the doc_id predicate reaches parquet
     assert "PushedFilters" in plan and "doc_id" in plan.split("PushedFilters")[1][:200]
+
+
+def test_decode_docs_table_via_snapshot_property(spark, tmp_path):
+    # Iceberg-store lookup: n_splits comes from the crumble.n_splits
+    # snapshot property the encode job stamps; catalog IO injected
+    # (runtime-free), decode must return exactly the requested docs
+    import datetime as dt
+
+    from crumble_spark import job, lookup, synth
+    from test_sinks import DirCatalog
+
+    cat = DirCatalog(spark, tmp_path)
+    src = synth.synth_table(spark, 40, seed=21)
+    src.write.parquet(cat.path("lake.tokens"))
+    cfg = job.EncodeConfig(block_size=256, n_splits=8)
+    job.run_encode_job(
+        spark, cat.read("lake.tokens"), "lake.enc", cfg=cfg, sink="iceberg",
+        table_reader=cat.read, writer_factory=cat.writer,
+    )
+    snaps = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), {"crumble.run_id": "r", "crumble.n_splits": "8"})],
+        "committed_at timestamp, summary map<string,string>",
+    )
+    want = {r["doc_id"]: list(r["tokens"]) for r in src.collect()}
+    ids = sorted(want)[:3]
+    got = lookup.decode_docs_table(
+        spark, "lake.enc", ids,
+        reader=cat.read, snapshots_reader=lambda: snaps,
+    ).collect()
+    assert sorted(r["doc_id"] for r in got) == ids
+    for r in got:
+        assert list(r["tokens"]) == want[r["doc_id"]]
+
+    # missing property → explicit error, never a silent partial lookup
+    import pytest
+
+    empty = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1), {"other": "x"})],
+        "committed_at timestamp, summary map<string,string>",
+    )
+    with pytest.raises(ValueError, match="crumble.n_splits"):
+        lookup.decode_docs_table(
+            spark, "lake.enc", ids, reader=cat.read,
+            snapshots_reader=lambda: empty,
+        )

@@ -124,28 +124,31 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(doc_id) starts with '0' (deterministic ~1/16 of the corpus; in
     production the eval grams come from the actual benchmark files).
 
-    Scale shape: distinct 8-grams explode → one equi-join on the gram
-    string.  The eval side is benchmark-sized (thousands of grams, not
-    corpus-sized), so AQE broadcasts it; the train side is one scan, and
-    per-doc distinct grams bound the fanout.
+    Scale shape: ONE scan of documents (gram construction is the
+    expensive part — never do it twice), explode with the eval flag
+    attached, then a max(is_eval) window over the gram partition marks
+    contaminated grams in the same shuffle a gram-keyed join would have
+    needed; finally a groupBy(doc_id).  Per-doc distinct grams bound the
+    fanout; no broadcast hints (an eval set is small, but nothing forces
+    a driver collect if it isn't).
     """
     d = textqc.documents(spark, sf_dir).select(
         "doc_id", shared.words(F.col("text")).alias("ws")
     )
-    g = d.select("doc_id", shared.grams8(F.col("ws")).alias("grams")).filter(
-        F.size("grams") > 0
-    )
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
-    eval_grams = (
-        g.filter(is_eval).select(F.explode("grams").alias("gram")).distinct()
-    )
-    train = g.filter(~is_eval).select(
+    g = d.select(
+        "doc_id", is_eval.alias("is_eval"), shared.grams8(F.col("ws")).alias("grams")
+    ).filter(F.size("grams") > 0)
+    ex = g.select(
         "doc_id",
+        "is_eval",
         F.size("grams").alias("n_grams"),
         F.explode("grams").alias("gram"),
     )
+    hit = F.max(F.col("is_eval").cast("int")).over(Window.partitionBy("gram")) == 1
     return (
-        train.join(eval_grams, "gram")
+        ex.withColumn("hit", hit)
+        .filter(~F.col("is_eval") & F.col("hit"))
         .groupBy("doc_id", "n_grams")
         .agg(F.count("*").cast("int").alias("n_hit_grams"))
         .select("doc_id", "n_hit_grams", F.col("n_grams").cast("int").alias("n_grams"))

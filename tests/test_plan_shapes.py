@@ -184,3 +184,20 @@ def test_ann_scaled_recall_floor(spark):
     assert true > 0
     recall = hits / true
     assert recall >= 0.6, f"scaled-ANN recall collapsed: {recall:.3f}"
+
+
+def test_contamination_single_scan_no_nested_loop(spark):
+    # gram construction must not run twice: the eval flag rides the one
+    # exploded gram set (a second documents scan doubles the real cost)
+    from crumble_spark.pipeline import curate
+
+    plan = _plan(curate.q_contamination(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") == 1, plan[:1500]
+
+
+def test_jaccard_gram_stats_single_scan(spark):
+    plan = _plan(dedup.q_jaccard_gram_stats(spark, SF_DIR))
+    assert plan.count("Scan parquet") == 1
+    assert "CartesianProduct" not in plan

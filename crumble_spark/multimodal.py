@@ -56,11 +56,55 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Integration point for a real decoder (PIL/libvips/ffmpeg)."""
+    """Integration point for compressed formats (PIL/libvips/ffmpeg)."""
     raise NotImplementedError(
-        "image decoding requires an image library not present in this "
+        "jpeg/png decoding requires an image library not present in this "
         "environment; swap in PIL.Image.open(io.BytesIO(payload)) here"
     )
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder — pure bytes, no image library."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL decoder for binary PPM (P6), pure numpy — the one raster
+    format that needs no external library, so the decode stage itself is
+    genuinely exercised (not just its plumbing).  Handles the spec's
+    header whitespace and '#' comments."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    pos, vals = 2, []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        vals.append(int(payload[start:pos]))
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError("only 8-bit PPM supported")
+    pos += 1  # exactly one whitespace byte separates the header from data
+    need = w * h * 3
+    if len(payload) - pos < need:
+        raise ValueError(f"truncated PPM: need {need} bytes, have {len(payload) - pos}")
+    return np.frombuffer(payload, dtype=np.uint8, count=need, offset=pos).reshape(h, w, 3)
+
+
+def decode_image(payload: bytes) -> np.ndarray:
+    """Dispatch: real PPM decode for P6 payloads, deterministic stub for
+    everything else (the compressed-format integration point)."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    return decode_image_stub(payload)
 
 
 def decode_image_stub(payload: bytes) -> np.ndarray:
@@ -223,5 +267,84 @@ Q_MM_FRAME_PLAN_SQL = (
 )
 
 
-QUERIES = {"mm_binary_meta": q_mm_binary_meta, "mm_frame_plan": q_mm_frame_plan}
-ORACLES = {"mm_binary_meta": Q_MM_BINARY_META_SQL, "mm_frame_plan": Q_MM_FRAME_PLAN_SQL}
+PPM_REPEATS = 48  # 16x16x3 = 768 pixel bytes = 48 md5 payloads
+
+
+def media_table_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL PPM (P6) payloads built entirely JVM-side:
+    header from the md5-derived dimensions, pixel bytes from the repeated
+    md5 hex — so an independent engine can derive the exact same bytes
+    and the decode stage becomes oracle-checkable."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    w = (F.conv(F.substring("hx", 3, 2), 16, 10).cast("int") % 16 + 1).alias("w")
+    h = (F.conv(F.substring("hx", 1, 2), 16, 10).cast("int") % 16 + 1).alias("h")
+    base = d.select("doc_id", "hx", w, h)
+    pix_hex = F.expr(f"substring(repeat(hx, {PPM_REPEATS}), 1, w * h * 6)")
+    header = F.format_string("P6\n%d %d\n255\n", F.col("w"), F.col("h"))
+    return base.select(
+        "doc_id",
+        F.lit("image/x-portable-pixmap").alias("media_type"),
+        F.concat(F.encode(header, "UTF-8"), F.unhex(pix_hex)).alias("payload"),
+    )
+
+
+def q_mm_ppm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL PPM payloads (mapInPandas, pure-numpy P6 parser) and
+    report per-image dimensions + mean pixel — oracle-checked: DuckDB
+    re-derives the same pixel bytes from the md5 hex independently, so a
+    decoder bug (wrong offset, wrong shape, header misparse) breaks the
+    value hash.  This is the multimodal decode stage actually running,
+    not a stub; compressed formats still route to decode_image_real."""
+    media = media_table_ppm(spark, sf_dir)
+    import math
+
+    schema = "doc_id long, width int, height int, mean_pixel_e6 long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_image(bytes(payload))
+                s, n = int(img.sum(dtype=np.int64)), img.size
+                rows.append(
+                    (
+                        int(doc_id),
+                        img.shape[1],
+                        img.shape[0],
+                        math.floor((s / n) * 1_000_000),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_pixel_e6"]
+            )
+
+    return media.mapInPandas(fn, schema=schema)
+
+
+Q_MM_PPM_DECODE_SQL = (
+    "WITH m AS (SELECT doc_id, md5(text) AS hx FROM documents), "
+    "dims AS (SELECT doc_id, hx, "
+    "CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) % 16 + 1 AS w, "
+    "CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) % 16 + 1 AS h FROM m), "
+    "px AS (SELECT doc_id, w, h, "
+    f"CAST(('0x' || substr(repeat(hx, {PPM_REPEATS}), 2 * i - 1, 2)) AS INTEGER) AS v "
+    "FROM dims, (SELECT unnest(generate_series(1, 16 * 16 * 3)) AS i) s "
+    "WHERE i <= w * h * 3) "
+    "SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height, "
+    "CAST(floor((sum(v) * 1.0 / count(*)) * 1000000) AS BIGINT) AS mean_pixel_e6 "
+    "FROM px GROUP BY doc_id, w, h"
+)
+
+
+QUERIES = {
+    "mm_binary_meta": q_mm_binary_meta,
+    "mm_frame_plan": q_mm_frame_plan,
+    "mm_ppm_decode": q_mm_ppm_decode,
+}
+ORACLES = {
+    "mm_binary_meta": Q_MM_BINARY_META_SQL,
+    "mm_frame_plan": Q_MM_FRAME_PLAN_SQL,
+    "mm_ppm_decode": Q_MM_PPM_DECODE_SQL,
+}

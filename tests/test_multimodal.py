@@ -74,3 +74,42 @@ def test_feature_dims_match_metadata_query(spark):
         for r in mm.q_mm_binary_meta(spark, SF).collect()
     }
     assert feats == meta
+
+
+def test_ppm_encode_decode_roundtrip():
+    import numpy as np
+
+    from crumble_spark.multimodal import decode_image, decode_ppm, encode_ppm
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(7, 11, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    # dispatcher routes P6 to the real decoder
+    np.testing.assert_array_equal(decode_image(encode_ppm(img)), img)
+
+
+def test_ppm_header_comments_and_whitespace():
+    import numpy as np
+
+    from crumble_spark.multimodal import decode_ppm
+
+    img = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    payload = b"P6\n# a comment line\n3   2\n# another\n255\n" + img.tobytes()
+    np.testing.assert_array_equal(decode_ppm(payload), img)
+
+
+def test_ppm_truncated_and_bad_magic_raise():
+    import numpy as np
+    import pytest
+
+    from crumble_spark.multimodal import decode_image, decode_ppm, encode_ppm
+
+    img = np.zeros((4, 4, 3), dtype=np.uint8)
+    full = encode_ppm(img)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(full[:-5])
+    with pytest.raises(ValueError, match="not a P6"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    # non-PPM payloads fall back to the deterministic stub, same contract
+    out = decode_image(b"\x07\x09" + b"x" * 14)
+    assert out.shape == (8, 10, 3) and out.dtype == np.uint8

@@ -620,9 +620,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable (DuckDB recursive CTE).
     """
     pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # materialize the edge set ONCE: every iteration joins against it,
+    # and without the checkpoint each round would re-execute the whole
+    # simhash pipeline upstream of the pairs
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()

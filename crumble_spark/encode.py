@@ -24,13 +24,16 @@ from .schema import ENCODED_SCHEMA
 
 # the fused loop hashes (and stores RAW payloads from) chunk.tobytes() in
 # native byte order, while hashing.block_hash and the decode side pin
-# '<i4'; the zero-copy fast path is only valid on little-endian hosts
+# '<i4'; the zero-copy fast path is only valid on little-endian hosts.
+# A hard raise, not assert: python -O would strip an assert and corrupt
+# the on-disk format silently instead of failing at import.
 import sys as _sys
 
-assert _sys.byteorder == "little", (
-    "crumble_spark's on-disk format and row hashes are little-endian; "
-    "big-endian hosts would need explicit '<i4' views in encode_flat"
-)
+if _sys.byteorder != "little":
+    raise RuntimeError(
+        "crumble_spark's on-disk format and row hashes are little-endian; "
+        "big-endian hosts would need explicit '<i4' views in encode_flat"
+    )
 
 BLOCK_OVERHEAD = 9  # block_id/codec_id/n stored as struct fields
 # bounded-memory guard: one kernel slice never holds more than this many
@@ -91,13 +94,17 @@ def _batch_slow_plans(rvals, seg_len, rb, rb_end, blen, vmin, vmax, slow_sel):
     pesc = np.zeros(n_slow, bool)
     psz = np.empty(n_slow, np.int64)
 
-    def gather(cls_mask):
-        idx = slow_sel[cls_mask]
+    def gather_idx(pos):
+        idx = slow_sel[pos]
         rp = rb_end[idx] - rb[idx]
         lab = np.repeat(np.arange(len(idx)), rp)
         cum = np.concatenate(([0], np.cumsum(rp)[:-1]))
         sel = np.arange(int(rp.sum())) - cum[lab] + rb[idx][lab]
-        return idx, lab, sel
+        return lab, sel
+
+    def gather(cls_mask):
+        lab, sel = gather_idx(np.flatnonzero(cls_mask))
+        return slow_sel[cls_mask], lab, sel
 
     def plan_and_store(cls_id, cls_mask, gv, gc, blk, nblk):
         vals_by_class[cls_id] = gv
@@ -141,16 +148,38 @@ def _batch_slow_plans(rvals, seg_len, rb, rb_end, blen, vmin, vmax, slow_sel):
         psz[cls_mask] = best_sz
 
     if narrow.any():
-        idx, lab, sel = gather(narrow)
-        vmin_c = vmin[idx]
-        off = np.concatenate(([0], np.cumsum(vr[narrow] + 1)))
-        key = off[lab] + (rvals[sel] - vmin_c[lab])
-        cnt = np.bincount(key, weights=seg_len[sel], minlength=int(off[-1]))
-        nz = np.flatnonzero(cnt)
-        blk = np.searchsorted(off, nz, side="right") - 1
+        # keyspace-bounded chunks: one bincount per <=2^22 combined keys
+        # (32 MB float64) instead of one buffer proportional to the whole
+        # batch's summed value ranges — the per-block path never held
+        # more than one block's range, so the batch path must stay
+        # bounded too (N parallel workers multiply any transient)
+        _KEY_CAP = 1 << 22
+        pos_n = np.flatnonzero(narrow)
+        sizes = (vr[narrow] + 1).tolist()
+        bounds, start, acc = [], 0, 0
+        for i, s_ in enumerate(sizes):
+            if acc + s_ > _KEY_CAP and i > start:
+                bounds.append((start, i))
+                start, acc = i, 0
+            acc += s_
+        bounds.append((start, len(sizes)))
+        gv_p, gc_p, blk_p = [], [], []
+        for a0, a1 in bounds:
+            pos = pos_n[a0:a1]
+            lab, sel = gather_idx(pos)
+            vmin_c = vmin[slow_sel[pos]]
+            off = np.concatenate(([0], np.cumsum(vr[narrow][a0:a1] + 1)))
+            key = off[lab] + (rvals[sel] - vmin_c[lab])
+            cnt = np.bincount(key, weights=seg_len[sel], minlength=int(off[-1]))
+            nz = np.flatnonzero(cnt)
+            blk_local = np.searchsorted(off, nz, side="right") - 1
+            gv_p.append((nz - off[blk_local]) + vmin_c[blk_local])
+            gc_p.append(cnt[nz].astype(np.int64))
+            blk_p.append(blk_local + a0)
         plan_and_store(
-            0, narrow, (nz - off[blk]) + vmin_c[blk], cnt[nz].astype(np.int64),
-            blk, len(idx),
+            0, narrow,
+            np.concatenate(gv_p), np.concatenate(gc_p), np.concatenate(blk_p),
+            len(pos_n),
         )
     if unit.any():
         idx, lab, sel = gather(unit)

@@ -101,7 +101,14 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch: real PPM decode for P6 payloads, deterministic stub for
-    everything else (the compressed-format integration point)."""
+    everything else (the compressed-format integration point).
+
+    Contract: feed this REAL media tables only.  Hash-derived fake
+    payloads (media_table) must call decode_image_stub directly — a
+    random 16-byte blob starts with 'P6' once per ~65k docs and would be
+    misrouted into the strict PPM parser, which rightly raises on it
+    (decoder errors on claimed-PPM data must surface, not silently
+    become stub images)."""
     if payload[:2] == b"P6":
         return decode_ppm(payload)
     return decode_image_stub(payload)

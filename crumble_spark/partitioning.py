@@ -109,6 +109,39 @@ def derive_salt_plan(
     }
 
 
+def derive_skew_stats(
+    df: DataFrame,
+    n_parts: int,
+    floor: int = GIANT_FLOOR_TOKENS,
+    cap: int = GIANT_ROW_TOKENS,
+    quantile: float = GIANT_TAIL_QUANTILE,
+    factor: int = GIANT_TAIL_FACTOR,
+    base: int = SALT_BASE,
+    salt_cap: int = SALT_CAP,
+) -> tuple[int, dict[str, int]]:
+    """(giant_threshold, salt_plan) from ONE rollup scan: the grand-total
+    row carries the global p-quantile (same percentile_approx the
+    standalone derive_giant_threshold computes), the per-source rows the
+    token shares — so enabling both adaptive features costs one pre-pass
+    over the input, not two."""
+    rows = (
+        df.rollup("source")
+        .agg(
+            F.sum(F.col("n_tok").cast("long")).alias("tok"),
+            F.percentile_approx("n_tok", quantile).alias("p"),
+        )
+        .collect()
+    )
+    total = sum((r["tok"] or 0) for r in rows if r["source"] is not None) or 1
+    plan = {
+        r["source"]: int(min(salt_cap, max(base, -(-((r["tok"] or 0) * 2 * n_parts) // total))))
+        for r in rows
+        if r["source"] is not None
+    }
+    p_global = next(int(r["p"] or 0) for r in rows if r["source"] is None)
+    return int(min(cap, max(floor, p_global * factor))), plan
+
+
 def salted_repartition_by_source(
     df: DataFrame, n_parts: int, plan: dict[str, int], default: int = SALT_BASE
 ) -> DataFrame:
@@ -216,14 +249,20 @@ def encode_df_skewaware(
     per source with data-derived bucket counts (derive_salt_plan), so one
     hot source spreads over proportionally more tasks than a uniform one.
     """
-    if giant_threshold == "auto":
+    if repartition and n_parts is None:
+        n_parts = df.sparkSession.sparkContext.defaultParallelism * 4
+    salt_plan = None
+    if giant_threshold == "auto" and repartition:
+        # both adaptive features on → one combined rollup scan, not two
+        giant_threshold, salt_plan = derive_skew_stats(df, n_parts)
+    elif giant_threshold == "auto":
         giant_threshold = derive_giant_threshold(df)
     df = with_split_id(df, n_splits)
     small = df.filter(F.col("n_tok") <= giant_threshold)
     if repartition:
-        if n_parts is None:
-            n_parts = df.sparkSession.sparkContext.defaultParallelism * 4
-        small = salted_repartition_by_source(small, n_parts, derive_salt_plan(df, n_parts))
+        if salt_plan is None:
+            salt_plan = derive_salt_plan(df, n_parts)
+        small = salted_repartition_by_source(small, n_parts, salt_plan)
     big = df.filter(F.col("n_tok") > giant_threshold)
     enc_small = encode_df(small, block_size=block_size, n_splits=n_splits)
     enc_big = encode_giant_rows(big, block_size=block_size)

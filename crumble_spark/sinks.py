@@ -67,15 +67,23 @@ def write_store_meta(enc_dir: str, n_splits: int) -> None:
         out.write(bytearray(payload.encode("utf-8")))
         out.close()
         final = path_cls(f"{enc_dir}/_crumble_meta.json")
+        # Hadoop reports most rename failures via the return value, not
+        # an exception — and we delete the old sidecar first, so a false
+        # here MUST surface or the store silently loses its routing
         fs.delete(final, False)
-        fs.rename(tmp, final)
+        if not fs.rename(tmp, final):
+            raise OSError(
+                f"rename({tmp}, {final}) returned false — the store sidecar "
+                "was NOT published; lookups would need a hand-passed n_splits"
+            )
         return
     import os
 
-    assert "://" not in enc_dir, (
-        f"no active SparkSession to resolve the filesystem for {enc_dir!r}; "
-        "remote sidecars require the Hadoop FileSystem API"
-    )
+    if "://" in enc_dir:
+        raise ValueError(
+            f"no active SparkSession to resolve the filesystem for {enc_dir!r}; "
+            "remote sidecars require the Hadoop FileSystem API"
+        )
     os.makedirs(enc_dir, exist_ok=True)
     tmp = os.path.join(enc_dir, "_crumble_meta.json.tmp")
     with open(tmp, "w") as f:
@@ -104,9 +112,10 @@ def read_store_meta(enc_dir: str) -> dict | None:
         return json.loads(text)
     import os
 
-    assert "://" not in enc_dir, (
-        f"no active SparkSession to resolve the filesystem for {enc_dir!r}"
-    )
+    if "://" in enc_dir:
+        raise ValueError(
+            f"no active SparkSession to resolve the filesystem for {enc_dir!r}"
+        )
     p = os.path.join(enc_dir, "_crumble_meta.json")
     if not os.path.exists(p):
         return None

@@ -57,16 +57,21 @@ _TTL_UNITS = {
 
 
 def _ttl_ms(ttl: str | int) -> int:
-    """"7 days" / "1 seconds" / 5000 → milliseconds (pyspark's
+    """"7 days" / "1 seconds" / "500 ms" / 5000 → milliseconds (pyspark's
     GroupState.setTimeoutDuration only accepts int ms)."""
     if isinstance(ttl, int):
         return ttl
     import re
 
-    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+?)s?\s*", ttl)
-    if not m or m.group(2).lower() not in _TTL_UNITS:
-        raise ValueError(f"unparseable ttl {ttl!r}; use e.g. '7 days' or ms int")
-    return int(m.group(1)) * _TTL_UNITS[m.group(2).lower()]
+    m = re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]+)\s*", ttl)
+    if m:
+        unit = m.group(2).lower()
+        # exact unit first so 'ms' resolves to millisecond, not 'm'+plural
+        if unit not in _TTL_UNITS and unit.endswith("s"):
+            unit = unit[:-1]
+        if unit in _TTL_UNITS:
+            return int(m.group(1)) * _TTL_UNITS[unit]
+    raise ValueError(f"unparseable ttl {ttl!r}; use e.g. '7 days' or ms int")
 
 
 def _emit_first_fn(ttl: str | int | None):

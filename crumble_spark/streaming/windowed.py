@@ -50,6 +50,20 @@ def hourly_rollup_stream(
     input into multiple micro-batches so the watermark actually advances
     between them (append emits nothing if all data lands in one batch).
     """
+    if output_mode == "append" and max_files_per_trigger is None:
+        # append emits a window only when a LATER batch's watermark closes
+        # it — a bounded input consumed in one availableNow batch yields
+        # zero rows, which reads as silent data loss; make that loud
+        import warnings
+
+        warnings.warn(
+            "hourly_rollup_stream in append mode without max_files_per_trigger: "
+            "a bounded input processed in a single micro-batch emits NO rows "
+            "(the watermark never advances within a batch); set "
+            "max_files_per_trigger to split batches, or output_mode='complete' "
+            "for bounded equivalence checks",
+            stacklevel=2,
+        )
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)

@@ -161,3 +161,22 @@ def test_salt_plan_gives_hot_source_more_buckets(spark):
         for r in p.groupBy("source").agg(F.countDistinct("pid").alias("n")).collect()
     }
     assert spread["hot"] > spread["cold"]
+
+
+def test_derive_skew_stats_matches_separate_passes(spark):
+    # the combined rollup must reproduce BOTH standalone derivations
+    from crumble_spark.partitioning import (
+        derive_giant_threshold,
+        derive_salt_plan,
+        derive_skew_stats,
+    )
+
+    rows = [(f"hot-{i:05d}", [1] * 50, 50, "hot") for i in range(380)] + [
+        (f"cold-{i:05d}", [1] * 5, 5, "cold") for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    thr, plan = derive_skew_stats(df, n_parts=64)
+    assert thr == derive_giant_threshold(df)
+    assert plan == derive_salt_plan(df, n_parts=64)

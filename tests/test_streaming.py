@@ -204,3 +204,18 @@ def test_ingest_refuses_legacy_flat_layout(spark, tmp_path):
 
     with pytest.raises(ValueError, match="pre-batch-partition layout"):
         encode_stream(spark, in_dir, out_dir, block_size=128, n_splits=4)
+
+
+def test_ttl_ms_parses_all_documented_units():
+    from crumble_spark.streaming.stateful import _ttl_ms
+
+    assert _ttl_ms("500 ms") == 500
+    assert _ttl_ms("500ms") == 500
+    assert _ttl_ms("1 seconds") == 1000
+    assert _ttl_ms("7 days") == 7 * 86_400_000
+    assert _ttl_ms("2 hours") == 7_200_000
+    assert _ttl_ms(1234) == 1234
+    import pytest
+
+    with pytest.raises(ValueError, match="unparseable"):
+        _ttl_ms("sometime later")

@@ -610,19 +610,32 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup is transitive in effect (A~B, B~C ⇒ one keeper for
     {A,B,C}) even when A~C wasn't itself emitted.
 
-    Algorithm: min-label propagation to fixpoint.  Each round is one
-    equi-join + groupBy(min) shuffle on doc_id; rounds = component
-    diameter, which for near-dup clusters is small (dup clusters are
-    dense).  Lineage is truncated per round (localCheckpoint) so the
-    plan doesn't grow with iterations.  An adversarially chained graph
-    at 10^12 rows would want the O(log n)-round large-star/small-star
-    contraction instead; the fixpoint loop keeps the semantics exact and
-    oracle-checkable (DuckDB recursive CTE).
+    Algorithm: min-label propagation with pointer jumping.  Each round
+    takes the min over graph neighbors' labels (one equi-join +
+    groupBy(min)) and then follows one level of label indirection
+    (lab := lab(lab), a second equi-join) — the pointer jump halves the
+    remaining distance to the component minimum every round, so rounds
+    are O(log diameter) even on adversarially chained graphs, not
+    O(diameter).  Lineage is truncated per round (localCheckpoint) so
+    the plan doesn't grow with iterations; the fixpoint semantics stay
+    exact and oracle-checkable (DuckDB recursive CTE).
     """
     pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = _connected_components(pairs)
+    w = Window.partitionBy("lab")
+    return labels.select(
+        "doc_id",
+        F.col("lab").alias("cluster_rep"),
+        F.count("*").over(w).cast("int").alias("cluster_size"),
+    )
+
+
+def _connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, lab=component min) for every node of the pair graph —
+    min-label propagation with pointer jumping (see q_dedup_clusters)."""
     # materialize the edge set ONCE: every iteration joins against it,
     # and without the checkpoint each round would re-execute the whole
-    # simhash pipeline upstream of the pairs
+    # pipeline upstream of the pairs
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).localCheckpoint(eager=True)
@@ -640,6 +653,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             labels.unionByName(nbr)
             .groupBy("doc_id")
             .agg(F.min("lab").alias("lab"))
+        )
+        # pointer jump: lab(x) is itself a node (labels are node-id mins,
+        # monotonically non-increasing), so follow one indirection —
+        # lab(lab(x)) <= lab(x) always, and the inner join is total
+        mapping = new.select(F.col("doc_id").alias("lab"), F.col("lab").alias("lab2"))
+        new = (
+            new.join(mapping, "lab")
+            .select("doc_id", F.col("lab2").alias("lab"))
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -655,12 +676,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(
             f"label propagation did not converge in {CLUSTER_MAX_ITERS} rounds"
         )
-    w = Window.partitionBy("lab")
-    return labels.select(
-        "doc_id",
-        F.col("lab").alias("cluster_rep"),
-        F.count("*").over(w).cast("int").alias("cluster_size"),
-    )
+    return labels
 
 
 def _q_dedup_clusters_sql() -> str:

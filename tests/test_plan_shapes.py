@@ -201,3 +201,28 @@ def test_jaccard_gram_stats_single_scan(spark):
     plan = _plan(dedup.q_jaccard_gram_stats(spark, SF_DIR))
     assert plan.count("Scan parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_connected_components_chain_converges_fast(spark):
+    # adversarial worst case for plain propagation: a 64-node path graph
+    # (diameter 63).  Pointer jumping must find the single component and
+    # its min label well inside the iteration cap (O(log diameter)).
+    from crumble_spark.pipeline.dedup import _connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 64)], "doc_a long, doc_b long"
+    )
+    labels = {r["doc_id"]: r["lab"] for r in _connected_components(pairs).collect()}
+    assert set(labels) == set(range(1, 65))
+    assert set(labels.values()) == {1}
+
+
+def test_connected_components_multiple_components(spark):
+    from crumble_spark.pipeline.dedup import _connected_components
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31), (50, 51), (51, 30)],
+        "doc_a long, doc_b long",
+    )
+    labels = {r["doc_id"]: r["lab"] for r in _connected_components(pairs).collect()}
+    assert labels == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 30, 51: 30}

@@ -111,12 +111,94 @@ Q_SAMPLE_TOKEN_BUDGET_SQL = (
 )
 
 
+# (doc_id string, n_tok) twin of tokens_table — n_tok == word count by
+# construction (tokens are a 1:1 transform of the filtered words)
+TOK_CTE_N = (
+    "WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+    "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok FROM documents)"
+)
+
+CTX_LEN = 2048  # training context window the packer fills
+PACK_RANGE_PARTS = 32  # range partitions for the distributed prefix sum
+
+
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing manifest: where every document's tokens land in
+    the fixed-CTX_LEN training examples when the corpus is concatenated
+    in doc_id order (the assembly step between tokenization and the
+    trainer; documents straddle pack boundaries, tokens flow
+    continuously).  Emits per doc: global token offset, first/last pack
+    index, and whether it straddles a boundary.
+
+    Scale shape — a global running total WITHOUT a global window: a
+    one-partition orderBy window would serialize the corpus through a
+    single task, so this uses the classic two-phase distributed scan:
+    range-partition by doc_id (partition i's keys all sort before
+    partition i+1's), per-partition window cumsum, and a driver-side
+    prefix of the per-partition totals (one tiny collect, #partitions
+    rows) joined back as each partition's base offset.  The oracle is
+    the naive single-window cumsum in DuckDB — the two must agree
+    exactly, which is precisely what makes the distributed scan safe to
+    ship.
+    """
+    t = tokens_table(spark, sf_dir).select("doc_id", "n_tok").filter(F.col("n_tok") > 0)
+    rp = (
+        t.repartitionByRange(PACK_RANGE_PARTS, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .withColumn("pid", F.spark_partition_id())
+    )
+    rp = rp.localCheckpoint(eager=True)  # pin partition ids for the two phases
+    totals = sorted(
+        (r["pid"], r["s"])
+        for r in rp.groupBy("pid").agg(F.sum(F.col("n_tok").cast("long")).alias("s")).collect()
+    )
+    base, acc = {}, 0
+    for pid, s in totals:
+        base[pid] = acc
+        acc += s
+    base_col = F.create_map(
+        *[F.lit(x) for kv in sorted(base.items()) for x in kv]
+    )[F.col("pid")]
+    w = Window.partitionBy("pid").orderBy("doc_id")
+    cum_before = (base_col + F.sum(F.col("n_tok").cast("long")).over(w) - F.col("n_tok")).cast(
+        "long"
+    )
+    return (
+        rp.withColumn("tok_start", cum_before)
+        .select(
+            "doc_id",
+            F.col("n_tok").cast("int").alias("n_tok"),
+            "tok_start",
+            F.floor(F.col("tok_start") / CTX_LEN).cast("long").alias("pack_first"),
+            F.floor((F.col("tok_start") + F.col("n_tok") - 1) / CTX_LEN)
+            .cast("long")
+            .alias("pack_last"),
+        )
+        .withColumn("straddles", F.col("pack_last") > F.col("pack_first"))
+    )
+
+
+Q_PACK_PLAN_SQL = (
+    TOK_CTE_N
+    + ", c AS (SELECT doc_id, n_tok, "
+    "sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "- n_tok AS tok_start FROM t WHERE n_tok > 0) "
+    "SELECT doc_id, CAST(n_tok AS INTEGER) AS n_tok, CAST(tok_start AS BIGINT) AS tok_start, "
+    f"CAST(floor(tok_start / {CTX_LEN}) AS BIGINT) AS pack_first, "
+    f"CAST(floor((tok_start + n_tok - 1) / {CTX_LEN}) AS BIGINT) AS pack_last, "
+    f"floor((tok_start + n_tok - 1) / {CTX_LEN}) > floor(tok_start / {CTX_LEN}) AS straddles "
+    "FROM c"
+)
+
+
 QUERIES = {
     "sample_stratified": q_sample_stratified,
     "sample_token_budget": q_sample_token_budget,
+    "corpus_pack_plan": q_pack_plan,
 }
 
 ORACLES = {
     "sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
     "sample_token_budget": Q_SAMPLE_TOKEN_BUDGET_SQL,
+    "corpus_pack_plan": Q_PACK_PLAN_SQL,
 }

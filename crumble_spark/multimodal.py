@@ -274,6 +274,56 @@ Q_MM_FRAME_PLAN_SQL = (
 )
 
 
+def encode_wav(samples: np.ndarray, sample_rate: int = 16_000) -> bytes:
+    """Minimal RIFF/WAVE writer: PCM16 mono — pure bytes, no audio lib."""
+    assert samples.dtype == np.int16
+    data = samples.astype("<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + (36 + len(data)).to_bytes(4, "little")
+        + b"WAVEfmt "
+        + (16).to_bytes(4, "little")
+        + (1).to_bytes(2, "little")  # PCM
+        + (1).to_bytes(2, "little")  # mono
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * 2).to_bytes(4, "little")
+        + (2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+        + b"data"
+        + len(data).to_bytes(4, "little")
+    )
+    return hdr + data
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL decoder for RIFF/WAVE PCM16 mono, pure numpy — the audio
+    twin of decode_ppm.  Walks the chunk list per the RIFF spec (skips
+    unknown chunks, honors word alignment), returns (samples int16,
+    sample_rate)."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, data, rate = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
+        body = payload[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt = int.from_bytes(body[0:2], "little")
+            channels = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError("only PCM16 mono supported")
+        elif cid == b"data":
+            if len(body) < sz:
+                raise ValueError(f"truncated WAV data chunk: {len(body)} < {sz}")
+            data = body
+        pos += 8 + sz + (sz & 1)  # chunks are word-aligned
+    if data is None or rate is None:
+        raise ValueError("missing fmt /data chunk")
+    return np.frombuffer(data, dtype="<i2"), rate
+
+
 PPM_REPEATS = 48  # 16x16x3 = 768 pixel bytes = 48 md5 payloads
 
 
@@ -345,13 +395,105 @@ Q_MM_PPM_DECODE_SQL = (
 )
 
 
+WAV_REPEATS = 8  # 64 samples * 2 bytes = 128 data bytes = 8 md5 payloads
+WAV_RATE = 16_000
+
+
+def _le_bytes(v, n: int):
+    """Integer column → n-byte little-endian binary (hex pad + swap)."""
+    hx = F.lpad(F.hex(v.cast("long")), 2 * n, "0")
+    parts = [F.substring(hx, 2 * i + 1, 2) for i in range(n)]
+    return F.unhex(F.concat(*reversed(parts)))
+
+
+def media_table_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic REAL RIFF/WAVE (PCM16 mono) payloads built entirely
+    JVM-side: header fields little-endian-packed with hex math, sample
+    bytes from the repeated md5 hex — the audio twin of media_table_ppm."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.md5("text").alias("hx")
+    )
+    n = (F.conv(F.substring("hx", 5, 2), 16, 10).cast("int") % 64 + 1).alias("n")
+    base = d.select("doc_id", "hx", n)
+    data = F.unhex(F.expr(f"substring(repeat(hx, {WAV_REPEATS}), 1, n * 4)"))
+    data_size = (F.col("n") * 2).cast("long")
+    header = F.concat(
+        F.lit(b"RIFF"),
+        _le_bytes(data_size + 36, 4),
+        F.lit(b"WAVEfmt "),
+        _le_bytes(F.lit(16), 4),
+        _le_bytes(F.lit(1), 2),
+        _le_bytes(F.lit(1), 2),
+        _le_bytes(F.lit(WAV_RATE), 4),
+        _le_bytes(F.lit(WAV_RATE * 2), 4),
+        _le_bytes(F.lit(2), 2),
+        _le_bytes(F.lit(16), 2),
+        F.lit(b"data"),
+        _le_bytes(data_size, 4),
+    )
+    return base.select(
+        "doc_id",
+        F.lit("audio/wav").alias("media_type"),
+        F.concat(header, data).alias("payload"),
+    )
+
+
+def q_mm_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL WAV payloads (mapInPandas, pure-numpy RIFF parser) and
+    report per-clip sample count, rate and mean |amplitude| — oracle-
+    checked like the PPM twin: DuckDB re-derives the int16 little-endian
+    samples from the md5 hex independently, so any parser bug (offset,
+    signedness, chunk walk) breaks the value hash."""
+    media = media_table_wav(spark, sf_dir)
+    import math
+
+    schema = "doc_id long, n_samples int, sample_rate int, mean_abs_e6 long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                samples, rate = decode_wav(bytes(payload))
+                s = int(np.abs(samples.astype(np.int64)).sum())
+                rows.append(
+                    (
+                        int(doc_id),
+                        len(samples),
+                        rate,
+                        math.floor((s / len(samples)) * 1_000_000),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "sample_rate", "mean_abs_e6"]
+            )
+
+    return media.mapInPandas(fn, schema=schema)
+
+
+Q_MM_WAV_DECODE_SQL = (
+    "WITH m AS (SELECT doc_id, md5(text) AS hx, "
+    "CAST(('0x' || substr(md5(text), 5, 2)) AS INTEGER) % 64 + 1 AS n FROM documents), "
+    "sm AS (SELECT doc_id, n, "
+    f"CAST(('0x' || substr(repeat(hx, {WAV_REPEATS}), 4 * i - 3, 2)) AS INTEGER) "
+    f"+ 256 * CAST(('0x' || substr(repeat(hx, {WAV_REPEATS}), 4 * i - 1, 2)) AS INTEGER) AS v "
+    "FROM m, (SELECT unnest(generate_series(1, 64)) AS i) s WHERE i <= n), "
+    "sv AS (SELECT doc_id, n, CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS sv FROM sm) "
+    "SELECT doc_id, CAST(n AS INTEGER) AS n_samples, "
+    f"{WAV_RATE} AS sample_rate, "
+    "CAST(floor((sum(abs(sv)) * 1.0 / count(*)) * 1000000) AS BIGINT) AS mean_abs_e6 "
+    "FROM sv GROUP BY doc_id, n"
+)
+
+
 QUERIES = {
     "mm_binary_meta": q_mm_binary_meta,
     "mm_frame_plan": q_mm_frame_plan,
     "mm_ppm_decode": q_mm_ppm_decode,
+    "mm_wav_decode": q_mm_wav_decode,
 }
 ORACLES = {
     "mm_binary_meta": Q_MM_BINARY_META_SQL,
     "mm_frame_plan": Q_MM_FRAME_PLAN_SQL,
     "mm_ppm_decode": Q_MM_PPM_DECODE_SQL,
+    "mm_wav_decode": Q_MM_WAV_DECODE_SQL,
 }

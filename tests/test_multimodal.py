@@ -113,3 +113,40 @@ def test_ppm_truncated_and_bad_magic_raise():
     # non-PPM payloads fall back to the deterministic stub, same contract
     out = decode_image(b"\x07\x09" + b"x" * 14)
     assert out.shape == (8, 10, 3) and out.dtype == np.uint8
+
+
+def test_wav_encode_decode_roundtrip_and_chunk_walk():
+    import numpy as np
+
+    from crumble_spark.multimodal import decode_wav, encode_wav
+
+    rng = np.random.default_rng(5)
+    samples = rng.integers(-(2**15), 2**15, 37, dtype=np.int16)
+    got, rate = decode_wav(encode_wav(samples, sample_rate=8000))
+    np.testing.assert_array_equal(got, samples)
+    assert rate == 8000
+
+    # unknown chunk BEFORE data (odd size → word-aligned pad) is skipped
+    full = encode_wav(samples)
+    hdr, data_chunk = full[:36], full[36:]
+    extra = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"  # pad byte
+    patched = full[:12] + full[12:36] + extra + data_chunk
+    got2, rate2 = decode_wav(patched)
+    np.testing.assert_array_equal(got2, samples)
+    assert rate2 == 16_000
+
+
+def test_wav_rejects_bad_inputs():
+    import numpy as np
+    import pytest
+
+    from crumble_spark.multimodal import decode_wav, encode_wav
+
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        decode_wav(b"OggS" + b"\x00" * 40)
+    # stereo/non-PCM must be refused, not silently misparsed
+    samples = np.zeros(4, dtype=np.int16)
+    full = bytearray(encode_wav(samples))
+    full[22] = 2  # channels = 2
+    with pytest.raises(ValueError, match="PCM16 mono"):
+        decode_wav(bytes(full))

@@ -112,9 +112,13 @@ def main() -> None:
         ("q6_rel_pricing_summary", relational.q_pricing_summary),
         ("q7_curation_funnel", curate.q_clean_funnel),
     ):
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        queries[name] = time.perf_counter() - t0
+        best = None
+        for _ in range(2):  # best-of-2, same noise discipline as q1
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        queries[name] = best
 
     tput = n_tokens / queries["q1_encode"]
     extras["decode_tokens_per_sec"] = round(n_tokens / queries["q2_decode_verify"])

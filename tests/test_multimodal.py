@@ -150,3 +150,31 @@ def test_wav_rejects_bad_inputs():
     full[22] = 2  # channels = 2
     with pytest.raises(ValueError, match="PCM16 mono"):
         decode_wav(bytes(full))
+
+
+def test_media_codecs_roundtrip_property():
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from crumble_spark.multimodal import decode_ppm, decode_wav, encode_ppm, encode_wav
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        st.integers(1, 9), st.integers(1, 9),
+        st.lists(st.integers(0, 255), min_size=1, max_size=300),
+    )
+    def ppm(h, w, flat):
+        img = np.resize(np.array(flat, dtype=np.uint8), (h, w, 3))
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.integers(-(2**15), 2**15 - 1), min_size=1, max_size=500))
+    def wav(vals):
+        samples = np.array(vals, dtype=np.int16)
+        got, rate = decode_wav(encode_wav(samples))
+        np.testing.assert_array_equal(got, samples)
+        assert rate == 16_000
+
+    ppm()
+    wav()

@@ -470,6 +470,97 @@ Q_BUCKET_CENTROIDS_SQL = (
 )
 
 
+IVF_NPROBE = 8  # coarse lists searched per query
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF search: the trained coarse quantizer
+    (q_bucket_centroids' per-list integer-e6 sums) ranks lists per query
+    by dot product, the top IVF_NPROBE lists are searched exactly —
+    train → probe → search, the full IVF loop, all oracle-checked.
+
+    Scale shape: the centroid table is #lists x 64 partial sums (≤2^16
+    lists at the bit cap — broadcastable, no hint needed), so query-list
+    scoring never touches the corpus; the candidate join is an equi-join
+    on the list id with per-list population held near ANN_TARGET_BUCKET
+    by the N-derived bit count.
+
+    Determinism contract: centroid components are sum_e6 / n (exact
+    int → one double division), dot products fold left-to-right, rank
+    ties break on list id then neighbor id.
+    """
+    eb = _scaled_base(spark, sf_dir)
+    cent = (
+        q_bucket_centroids(spark, sf_dir)
+        .withColumn("c", F.col("sum_e6") / F.col("n_vecs"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    scored = q.join(cent, F.lit(True)).select(
+        "q_id", "q_emb", "q_nrm", "bucket", _dot(F.col("q_emb"), F.col("cvec")).alias("s")
+    )
+    probes = (
+        scored.withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("bucket"))
+            ),
+        )
+        .filter(F.col("r") <= IVF_NPROBE)
+        .select("q_id", "q_emb", "q_nrm", "bucket")
+    )
+    pairs = eb.join(probes, ["bucket"]).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    ranked = pairs.select(
+        "q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= TOP_K).select(
+        "q_id",
+        "neighbor_id",
+        F.floor(F.col("cos") * 1_000_000).cast("long").alias("cos_e6"),
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
+Q_ANN_IVF_SQL = (
+    _SCALED_CTE
+    + ", cx AS (SELECT bucket, i - 1 AS pos, count(*) AS n_vecs, "
+    "CAST(sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6 "
+    "FROM b, (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), "
+    "cent AS (SELECT bucket, list(sum_e6 * 1.0 / n_vecs ORDER BY pos) AS cvec FROM cx GROUP BY bucket), "
+    f"q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < {N_QUERIES}), "
+    "sc AS (SELECT q.q_id, q.q_emb, q.q_nrm, cent.bucket, "
+    + _DOT_SQL.format(a="q.q_emb", b="cent.cvec")
+    + " AS s FROM q, cent), "
+    "pr AS (SELECT q_id, q_emb, q_nrm, bucket FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY s DESC, bucket ASC) AS r FROM sc) WHERE r <= "
+    + str(IVF_NPROBE)
+    + "), "
+    "p AS (SELECT pr.q_id, v.vec_id AS neighbor_id, "
+    + _DOT_SQL.format(a="pr.q_emb", b="v.emb")
+    + " / (pr.q_nrm * v.nrm) AS cos FROM b v JOIN pr ON v.bucket = pr.bucket "
+    "AND v.vec_id <> pr.q_id), "
+    "r AS (SELECT q_id, neighbor_id, cos, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p) "
+    "SELECT q_id, neighbor_id, CAST(floor(cos * 1000000) AS BIGINT) AS cos_e6, "
+    f"CAST(rank AS INTEGER) AS rank FROM r WHERE rank <= {TOP_K}"
+)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the bucketed (approximate) search against the brute
     baseline — the evaluation harness an ANN scale path needs."""
@@ -511,6 +602,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_scaled": q_embedding_neardup_scaled,
     "emb_bucket_centroids": q_bucket_centroids,
+    "ann_ivf_topk": q_ann_ivf_topk,
 }
 
 ORACLES = {
@@ -522,4 +614,5 @@ ORACLES = {
     "ann_recall_scaled": Q_ANN_RECALL_SCALED_SQL,
     "embedding_neardup": Q_EMB_NEARDUP_SQL,
     "embedding_neardup_scaled": Q_EMB_NEARDUP_SCALED_SQL,
+    "ann_ivf_topk": Q_ANN_IVF_SQL,
 }

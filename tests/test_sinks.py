@@ -173,3 +173,33 @@ def test_lineage_append_creates_then_appends():
         object(), "lake.enc_lineage", writer_factory=lambda df: FakeWriter(log2)
     )
     assert ("append",) in log2
+
+
+def test_job_iceberg_resume_skips_completed_splits(spark, tmp_path):
+    # second run over the same catalog tables must find every split done
+    # (lineage read back through the catalog), re-encode nothing new,
+    # and leave the encoded table byte-identical
+    import glob
+    import os
+
+    from crumble_spark import job, synth
+    from crumble_spark.decode import decode_df
+
+    cat = DirCatalog(spark, tmp_path)
+    synth.synth_table(spark, 50, seed=13).write.parquet(cat.path("lake.tokens"))
+    cfg = job.EncodeConfig(block_size=256, n_splits=8)
+    kw = dict(cfg=cfg, sink="iceberg", table_reader=cat.read, writer_factory=cat.writer)
+    s1 = job.run_encode_job(spark, cat.read("lake.tokens"), "lake.enc", **kw)
+    files1 = sorted(glob.glob(cat.path("lake.enc") + "/**/*.parquet", recursive=True))
+    mtimes1 = {f: os.path.getmtime(f) for f in files1}
+
+    s2 = job.run_encode_job(spark, cat.read("lake.tokens"), "lake.enc", **kw)
+    assert s2["rows"] == s1["rows"] == 50
+    assert s2["splits"] == s1["splits"]
+    # no split was re-written: same files, same mtimes (dynamic overwrite
+    # only touches partitions present in the written frame — resume left
+    # it empty)
+    files2 = sorted(glob.glob(cat.path("lake.enc") + "/**/*.parquet", recursive=True))
+    assert files2 == files1
+    assert all(os.path.getmtime(f) == mtimes1[f] for f in files1)
+    assert decode_df(cat.read("lake.enc"), verify=True).count() == 50

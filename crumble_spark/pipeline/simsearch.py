@@ -561,6 +561,110 @@ Q_ANN_IVF_SQL = (
 )
 
 
+IVF_PROBE_LEVELS = (1, 2, 4, 8)
+
+
+def q_ann_probe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k as a function of nprobe — the recall/latency knob an IVF
+    deployment tunes, measured in one query: for each probe level the
+    top-k of the lists ranked <= level is compared against the brute
+    baseline.  Candidate work is the union over levels (≈2x the nprobe=8
+    query); the level fan-out multiplies only the tiny probe set."""
+    eb = _scaled_base(spark, sf_dir)
+    cent = (
+        q_bucket_centroids(spark, sf_dir)
+        .withColumn("c", F.col("sum_e6") / F.col("n_vecs"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+            ).alias("cvec")
+        )
+    )
+    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("emb").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    ranked_lists = (
+        q.join(cent, F.lit(True))
+        .select(
+            "q_id", "q_emb", "q_nrm", "bucket",
+            _dot(F.col("q_emb"), F.col("cvec")).alias("s"),
+        )
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("bucket"))
+            ),
+        )
+    )
+    levels = spark.createDataFrame(
+        [(x,) for x in IVF_PROBE_LEVELS], "nprobe int"
+    )
+    probes = ranked_lists.join(levels, F.col("r") <= F.col("nprobe")).select(
+        "nprobe", "q_id", "q_emb", "q_nrm", "bucket"
+    )
+    pairs = eb.join(probes, ["bucket"]).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _dot(F.col("q_emb"), F.col("emb")) / (F.col("q_nrm") * F.col("nrm"))
+    topk = (
+        pairs.select("nprobe", "q_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos"))
+        .withColumn(
+            "rank",
+            F.row_number().over(
+                Window.partitionBy("nprobe", "q_id").orderBy(
+                    F.desc("cos"), F.asc("neighbor_id")
+                )
+            ),
+        )
+        .filter(F.col("rank") <= TOP_K)
+    )
+    brute = q_ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    n_true = brute.count()
+    hits = topk.join(brute, ["q_id", "neighbor_id"]).groupBy("nprobe").agg(
+        F.count("*").alias("n_hits")
+    )
+    return (
+        levels.join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
+            F.lit(n_true).cast("int").alias("n_true"),
+        )
+    )
+
+
+Q_ANN_PROBE_TRADEOFF_SQL = (
+    _SCALED_CTE
+    + ", cx AS (SELECT bucket, i - 1 AS pos, count(*) AS n_vecs, "
+    "CAST(sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6 "
+    "FROM b, (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), "
+    "cent AS (SELECT bucket, list(sum_e6 * 1.0 / n_vecs ORDER BY pos) AS cvec FROM cx GROUP BY bucket), "
+    f"q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < {N_QUERIES}), "
+    "rl AS (SELECT q_id, q_emb, q_nrm, bucket, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY "
+    + _DOT_SQL.format(a="q_emb", b="cvec")
+    + " DESC, bucket ASC) AS r FROM q, cent), "
+    "lv AS (SELECT unnest(["
+    + ", ".join(str(x) for x in IVF_PROBE_LEVELS)
+    + "]) AS nprobe), "
+    "pr AS (SELECT lv.nprobe, rl.q_id, rl.q_emb, rl.q_nrm, rl.bucket FROM rl, lv WHERE rl.r <= lv.nprobe), "
+    "p AS (SELECT pr.nprobe, pr.q_id, v.vec_id AS neighbor_id, "
+    + _DOT_SQL.format(a="pr.q_emb", b="v.emb")
+    + " / (pr.q_nrm * v.nrm) AS cos FROM b v JOIN pr ON v.bucket = pr.bucket "
+    "AND v.vec_id <> pr.q_id), "
+    "tk AS (SELECT nprobe, q_id, neighbor_id FROM (SELECT *, row_number() OVER "
+    "(PARTITION BY nprobe, q_id ORDER BY cos DESC, neighbor_id ASC) AS rank FROM p) "
+    f"WHERE rank <= {TOP_K}), "
+    "brute AS (SELECT q_id, neighbor_id FROM (" + Q_ANN_BRUTE_SQL + ")), "
+    "h AS (SELECT tk.nprobe, count(*) AS n_hits FROM tk JOIN brute "
+    "ON brute.q_id = tk.q_id AND brute.neighbor_id = tk.neighbor_id GROUP BY tk.nprobe) "
+    "SELECT lv.nprobe, CAST(coalesce(h.n_hits, 0) AS INTEGER) AS n_hits, "
+    "CAST((SELECT count(*) FROM brute) AS INTEGER) AS n_true "
+    "FROM lv LEFT JOIN h ON h.nprobe = lv.nprobe"
+)
+
+
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the bucketed (approximate) search against the brute
     baseline — the evaluation harness an ANN scale path needs."""
@@ -603,6 +707,7 @@ QUERIES = {
     "embedding_neardup_scaled": q_embedding_neardup_scaled,
     "emb_bucket_centroids": q_bucket_centroids,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_probe_tradeoff": q_ann_probe_tradeoff,
 }
 
 ORACLES = {
@@ -615,4 +720,5 @@ ORACLES = {
     "embedding_neardup": Q_EMB_NEARDUP_SQL,
     "embedding_neardup_scaled": Q_EMB_NEARDUP_SCALED_SQL,
     "ann_ivf_topk": Q_ANN_IVF_SQL,
+    "ann_probe_tradeoff": Q_ANN_PROBE_TRADEOFF_SQL,
 }

@@ -308,6 +308,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         sz = int.from_bytes(payload[pos + 4 : pos + 8], "little")
         body = payload[pos + 8 : pos + 8 + sz]
         if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError(f"truncated fmt chunk: {len(body)} < 16 bytes")
             audio_fmt = int.from_bytes(body[0:2], "little")
             channels = int.from_bytes(body[2:4], "little")
             rate = int.from_bytes(body[4:8], "little")
@@ -317,6 +319,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         elif cid == b"data":
             if len(body) < sz:
                 raise ValueError(f"truncated WAV data chunk: {len(body)} < {sz}")
+            if sz % 2:
+                raise ValueError(f"data chunk size {sz} is not int16-aligned")
             data = body
         pos += 8 + sz + (sz & 1)  # chunks are word-aligned
     if data is None or rate is None:

@@ -142,10 +142,10 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship.
     """
     t = tokens_table(spark, sf_dir).select("doc_id", "n_tok").filter(F.col("n_tok") > 0)
-    rp = (
-        t.repartitionByRange(PACK_RANGE_PARTS, "doc_id")
-        .sortWithinPartitions("doc_id")
-        .withColumn("pid", F.spark_partition_id())
+    # no sortWithinPartitions: pid depends only on the range partitioner,
+    # and the per-partition window below shuffles + sorts by doc_id anyway
+    rp = t.repartitionByRange(PACK_RANGE_PARTS, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
     )
     rp = rp.localCheckpoint(eager=True)  # pin partition ids for the two phases
     totals = sorted(

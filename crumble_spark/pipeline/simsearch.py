@@ -473,22 +473,12 @@ Q_BUCKET_CENTROIDS_SQL = (
 IVF_NPROBE = 8  # coarse lists searched per query
 
 
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end IVF search: the trained coarse quantizer
-    (q_bucket_centroids' per-list integer-e6 sums) ranks lists per query
-    by dot product, the top IVF_NPROBE lists are searched exactly —
-    train → probe → search, the full IVF loop, all oracle-checked.
-
-    Scale shape: the centroid table is #lists x 64 partial sums (≤2^16
-    lists at the bit cap — broadcastable, no hint needed), so query-list
-    scoring never touches the corpus; the candidate join is an equi-join
-    on the list id with per-list population held near ANN_TARGET_BUCKET
-    by the N-derived bit count.
-
-    Determinism contract: centroid components are sum_e6 / n (exact
-    int → one double division), dot products fold left-to-right, rank
-    ties break on list id then neighbor id.
-    """
+def _ivf_ranked_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, q_emb, q_nrm, bucket, r): every query's coarse lists ranked
+    by centroid dot product — the shared front half of the IVF queries.
+    Determinism contract (the oracle depends on it): centroid components
+    are sum_e6 / n_vecs (exact int → one double division), dot products
+    fold left-to-right, rank ties break on list id."""
     eb = _scaled_base(spark, sf_dir)
     cent = (
         q_bucket_centroids(spark, sf_dir)
@@ -505,16 +495,50 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("emb").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    scored = q.join(cent, F.lit(True)).select(
-        "q_id", "q_emb", "q_nrm", "bucket", _dot(F.col("q_emb"), F.col("cvec")).alias("s")
-    )
-    probes = (
-        scored.withColumn(
+    return (
+        q.join(cent, F.lit(True))
+        .select(
+            "q_id", "q_emb", "q_nrm", "bucket",
+            _dot(F.col("q_emb"), F.col("cvec")).alias("s"),
+        )
+        .withColumn(
             "r",
             F.row_number().over(
                 Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("bucket"))
             ),
         )
+    )
+
+
+# shared CTE half of the IVF oracles: cx/cent/q/rl mirror _ivf_ranked_lists
+_IVF_RANKED_CTE = (
+    ", cx AS (SELECT bucket, i - 1 AS pos, count(*) AS n_vecs, "
+    "CAST(sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6 "
+    "FROM b, (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), "
+    "cent AS (SELECT bucket, list(sum_e6 * 1.0 / n_vecs ORDER BY pos) AS cvec FROM cx GROUP BY bucket), "
+    f"q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < {N_QUERIES}), "
+    "rl AS (SELECT q_id, q_emb, q_nrm, bucket, row_number() OVER "
+    "(PARTITION BY q_id ORDER BY "
+    + _DOT_SQL.format(a="q_emb", b="cvec")
+    + " DESC, bucket ASC) AS r FROM q, cent)"
+)
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IVF search: the trained coarse quantizer
+    (q_bucket_centroids' per-list integer-e6 sums) ranks lists per query
+    by dot product, the top IVF_NPROBE lists are searched exactly —
+    train → probe → search, the full IVF loop, all oracle-checked.
+
+    Scale shape: the centroid table is #lists x 64 partial sums (≤2^16
+    lists at the bit cap — broadcastable, no hint needed), so query-list
+    scoring never touches the corpus; the candidate join is an equi-join
+    on the list id with per-list population held near ANN_TARGET_BUCKET
+    by the N-derived bit count.
+    """
+    eb = _scaled_base(spark, sf_dir)
+    probes = (
+        _ivf_ranked_lists(spark, sf_dir)
         .filter(F.col("r") <= IVF_NPROBE)
         .select("q_id", "q_emb", "q_nrm", "bucket")
     )
@@ -538,18 +562,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_ANN_IVF_SQL = (
     _SCALED_CTE
-    + ", cx AS (SELECT bucket, i - 1 AS pos, count(*) AS n_vecs, "
-    "CAST(sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6 "
-    "FROM b, (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), "
-    "cent AS (SELECT bucket, list(sum_e6 * 1.0 / n_vecs ORDER BY pos) AS cvec FROM cx GROUP BY bucket), "
-    f"q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < {N_QUERIES}), "
-    "sc AS (SELECT q.q_id, q.q_emb, q.q_nrm, cent.bucket, "
-    + _DOT_SQL.format(a="q.q_emb", b="cent.cvec")
-    + " AS s FROM q, cent), "
-    "pr AS (SELECT q_id, q_emb, q_nrm, bucket FROM (SELECT *, row_number() OVER "
-    "(PARTITION BY q_id ORDER BY s DESC, bucket ASC) AS r FROM sc) WHERE r <= "
-    + str(IVF_NPROBE)
-    + "), "
+    + _IVF_RANKED_CTE
+    + f", pr AS (SELECT q_id, q_emb, q_nrm, bucket FROM rl WHERE r <= {IVF_NPROBE}), "
     "p AS (SELECT pr.q_id, v.vec_id AS neighbor_id, "
     + _DOT_SQL.format(a="pr.q_emb", b="v.emb")
     + " / (pr.q_nrm * v.nrm) AS cos FROM b v JOIN pr ON v.bucket = pr.bucket "
@@ -571,34 +585,7 @@ def q_ann_probe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline.  Candidate work is the union over levels (≈2x the nprobe=8
     query); the level fan-out multiplies only the tiny probe set."""
     eb = _scaled_base(spark, sf_dir)
-    cent = (
-        q_bucket_centroids(spark, sf_dir)
-        .withColumn("c", F.col("sum_e6") / F.col("n_vecs"))
-        .groupBy("bucket")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
-            ).alias("cvec")
-        )
-    )
-    q = eb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("q_id"),
-        F.col("emb").alias("q_emb"),
-        F.col("nrm").alias("q_nrm"),
-    )
-    ranked_lists = (
-        q.join(cent, F.lit(True))
-        .select(
-            "q_id", "q_emb", "q_nrm", "bucket",
-            _dot(F.col("q_emb"), F.col("cvec")).alias("s"),
-        )
-        .withColumn(
-            "r",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(F.desc("s"), F.asc("bucket"))
-            ),
-        )
-    )
+    ranked_lists = _ivf_ranked_lists(spark, sf_dir)
     levels = spark.createDataFrame(
         [(x,) for x in IVF_PROBE_LEVELS], "nprobe int"
     )
@@ -619,33 +606,34 @@ def q_ann_probe_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rank") <= TOP_K)
     )
-    brute = q_ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
-    n_true = brute.count()
+    # lazy checkpoint: the brute baseline is computed once at execution
+    # (reused by both the hits join and the count branch) and NOTHING
+    # runs at DataFrame-construction time — an eager count here would
+    # trigger a full O(N*Q) scan just to build the plan
+    brute = (
+        q_ann_brute_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     hits = topk.join(brute, ["q_id", "neighbor_id"]).groupBy("nprobe").agg(
         F.count("*").alias("n_hits")
     )
+    n_true = brute.agg(F.count("*").cast("int").alias("n_true"))
     return (
         levels.join(hits, "nprobe", "left")
+        .crossJoin(n_true)  # 1-row aggregate, the legitimate tiny BNLJ
         .select(
             "nprobe",
             F.coalesce("n_hits", F.lit(0)).cast("int").alias("n_hits"),
-            F.lit(n_true).cast("int").alias("n_true"),
+            "n_true",
         )
     )
 
 
 Q_ANN_PROBE_TRADEOFF_SQL = (
     _SCALED_CTE
-    + ", cx AS (SELECT bucket, i - 1 AS pos, count(*) AS n_vecs, "
-    "CAST(sum(CAST(floor(emb[i] * 1000000) AS BIGINT)) AS BIGINT) AS sum_e6 "
-    "FROM b, (SELECT unnest(generate_series(1, 64)) AS i) s GROUP BY 1, 2), "
-    "cent AS (SELECT bucket, list(sum_e6 * 1.0 / n_vecs ORDER BY pos) AS cvec FROM cx GROUP BY bucket), "
-    f"q AS (SELECT vec_id AS q_id, emb AS q_emb, nrm AS q_nrm FROM b WHERE vec_id < {N_QUERIES}), "
-    "rl AS (SELECT q_id, q_emb, q_nrm, bucket, row_number() OVER "
-    "(PARTITION BY q_id ORDER BY "
-    + _DOT_SQL.format(a="q_emb", b="cvec")
-    + " DESC, bucket ASC) AS r FROM q, cent), "
-    "lv AS (SELECT unnest(["
+    + _IVF_RANKED_CTE
+    + ", lv AS (SELECT unnest(["
     + ", ".join(str(x) for x in IVF_PROBE_LEVELS)
     + "]) AS nprobe), "
     "pr AS (SELECT lv.nprobe, rl.q_id, rl.q_emb, rl.q_nrm, rl.bucket FROM rl, lv WHERE rl.r <= lv.nprobe), "

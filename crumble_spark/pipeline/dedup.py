@@ -12,7 +12,8 @@ Scale notes (100 TB): every candidate generator is a shuffle on a *short
 key* (band hash / gram / nibble band), never a cross join; pair dedup is
 a groupBy on (doc_a, doc_b).  Per-key fanout is explicitly bounded
 everywhere a degenerate key could go quadratic: hot grams are frequency-
-capped (GRAM_DF_CAP) via a broadcast anti-join, LSH band buckets above
+capped (GRAM_DF_CAP) via a window flag on the gram partition (never a
+driver-materialized hot list), LSH band buckets above
 LSH_MAX_BUCKET are dropped-and-reported (q_lsh_bucket_stats), and simhash
 pairs come from a nibble-band equi-join, not a signature self-join.  The
 exact-jaccard verifier runs only on LSH candidate pairs (restricted
@@ -437,19 +438,21 @@ def _capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Hot grams (document frequency > GRAM_DF_CAP) are the quadratic killers
     of any gram equi-join: one boilerplate shingle shared by k docs emits
-    k(k-1)/2 pairs.  The hot set is tiny by construction (few grams can
-    exceed the cap), so it broadcast-anti-joins against the exploded grams
-    without re-shuffling them; n is the per-doc KEPT gram count, so the
-    jaccard downstream is exact over the capped sets in both engines.
+    k(k-1)/2 pairs.  The hot-gram flag is computed as a window count over
+    the gram partition on the SAME exploded rows — NOT a separate groupBy
+    + broadcast anti-join: on a boilerplate-heavy web corpus the >cap set
+    is 10^8-10^9 grams (tens of GB), so broadcasting it is a driver OOM
+    (VERDICT r3 #3).  The window adds no extra shuffle versus the old
+    shape (one gram-keyed exchange either way) and never materializes the
+    hot set anywhere; the same trick q_contamination uses for its eval
+    flag.  n is the per-doc KEPT gram count, so the jaccard downstream is
+    exact over the capped sets in both engines.  Plan pinned by
+    test_plan_shapes.py::test_jaccard_gram_side_not_broadcast_hinted.
     """
     e = _doc_grams(spark, sf_dir).select("doc_id", F.explode("grams").alias("gram"))
-    hot = (
-        e.groupBy("gram")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > GRAM_DF_CAP)
-        .select("gram")
-    )
-    kept = e.join(F.broadcast(hot), "gram", "left_anti")
+    kept = e.withColumn(
+        "df", F.count("*").over(Window.partitionBy("gram"))
+    ).filter(F.col("df") <= GRAM_DF_CAP).drop("df")
     return kept.withColumn("n", F.count("*").over(Window.partitionBy("doc_id")))
 
 
@@ -703,7 +706,6 @@ QUERIES = {
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_lsh_bucket_stats": q_lsh_bucket_stats,
     "dedup_simhash_sig": q_simhash,
-    "dedup_simhash_pairs": q_dedup_simhash,
     "dedup_simhash48_pairs": q_simhash48_pairs,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_jaccard_gram_stats": q_jaccard_gram_stats,
@@ -718,9 +720,20 @@ ORACLES = {
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
     "dedup_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
     "dedup_simhash_sig": Q_SIMHASH_SQL,
-    "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
     "dedup_simhash48_pairs": _q_simhash48_sql(),
     "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
     "dedup_jaccard_gram_stats": Q_JACCARD_GRAM_STATS_SQL,
     "dedup_clusters": _q_dedup_clusters_sql(),
+}
+
+# Parity baselines retired from the driver registry (the driver records at
+# most 50 correctness rows; these are superseded by deploy-width variants —
+# 16-bit simhash pairs by the 48-bit 4x12-band query) but still verified
+# locally every run via tests/test_oracles.py.
+LOCAL_QUERIES = {
+    "dedup_simhash_pairs": q_dedup_simhash,
+}
+
+LOCAL_ORACLES = {
+    "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
 }

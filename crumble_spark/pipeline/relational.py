@@ -68,8 +68,18 @@ Q_EVENTS_TOP_USERS_SQL = (
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup — fact table
-    streams once, every dimension broadcast."""
+    """lineitem ⋈ orders ⋈ customer ⋈ nation revenue rollup.
+
+    Join strategy at 100x: orders is FACT-scale (~1/4 of lineitem's rows,
+    ~10^10 at scale), so its join carries NO broadcast hint — a hinted
+    broadcast would force a driver collect of the whole table (VERDICT r3
+    #2).  lineitem⋈orders is a shuffle equi-join on the order key; AQE
+    demotes it to broadcast at small SF automatically iff orders fits.
+    customer (~10^9 rows at 100x, but post-projection only two int
+    columns) also goes unhinted — AQE decides; only nation (25 rows, a
+    true dimension) keeps the explicit broadcast hint.
+    Plan pinned by test_plan_shapes.py::
+    test_revenue_by_nation_orders_not_broadcast_hinted."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_orderkey",
         F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
@@ -80,8 +90,8 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("n_name")
         .agg(F.count("*").alias("n_items"), F.sum("rev_cents").alias("rev_cents"))

@@ -24,8 +24,12 @@ def ddb():
 def _pairs():
     import __spark_entry__ as entry
 
-    qs = entry.queries()
-    os_ = entry.oracle_sql()
+    qs = dict(entry.queries())
+    os_ = dict(entry.oracle_sql())
+    # Parity baselines retired from the driver's 50-row window stay
+    # oracle-checked here (LOCAL_QUERIES/LOCAL_ORACLES per module).
+    qs.update(entry.local_queries())
+    os_.update(entry.local_oracle_sql())
     return [(name, qs[name], os_[name]) for name in qs if name in os_]
 
 
@@ -50,7 +54,8 @@ def test_query_matches_oracle(spark, ddb, name, qfn, sql):
 def test_every_query_has_rows_or_documented_empty(spark):
     import __spark_entry__ as entry
 
-    for name, fn in entry.queries().items():
+    all_queries = {**entry.queries(), **entry.local_queries()}
+    for name, fn in all_queries.items():
         n = fn(spark, SF_DIR).count()
         # dedup_exact is legitimately empty (no full-text dups in testdata)
         if name not in ("dedup_exact",):

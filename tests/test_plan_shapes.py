@@ -228,6 +228,26 @@ def test_connected_components_multiple_components(spark):
     assert labels == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 30, 51: 30}
 
 
+def test_jaccard_gram_side_not_broadcast_hinted(spark):
+    # the hot-gram (df > GRAM_DF_CAP) set is corpus-proportional on a
+    # boilerplate-heavy web corpus (10^8-10^9 grams) — it must be a window
+    # flag on the exploded rows, never a broadcast anti-join (VERDICT r3
+    # #3).  Neither jaccard nor lsh_verified may hint any gram-derived set.
+    assert _hinted_subtrees(dedup.q_dedup_jaccard(spark, SF_DIR)) == []
+    for h in _hinted_subtrees(dedup.q_dedup_lsh_verified(spark, SF_DIR)):
+        assert "gram" not in h, h[:500]
+
+
+def test_revenue_by_nation_orders_not_broadcast_hinted(spark):
+    # orders is FACT-scale (~1/4 of lineitem, ~10^10 rows at 100x) — a
+    # broadcast hint on it forces a driver collect → OOM (VERDICT r3 #2).
+    # customer is also unhinted (AQE decides); only nation (25 rows) may
+    # carry an explicit hint.
+    hints = _hinted_subtrees(relational.q_revenue_by_nation(spark, SF_DIR))
+    for h in hints:
+        assert "o_orderkey" not in h and "c_custkey" not in h, h[:500]
+
+
 def test_ann_ivf_recall_floor(spark):
     # same discipline as the scaled-ANN floor: the oracle runs the same
     # algorithm, so recall regressions need a semantic assertion.

@@ -53,6 +53,10 @@ def tokens_parquet(spark, sf: float) -> str:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_of(sf_dir)
+    try:
+        load_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_at_start = None
     spark = get_spark(app="crumble-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -123,6 +127,22 @@ def main() -> None:
     tput = n_tokens / queries["q1_encode"]
     extras["decode_tokens_per_sec"] = round(n_tokens / queries["q2_decode_verify"])
     extras["n_tokens"] = int(n_tokens)
+    # Measurement-window telemetry (VERDICT r3 #5): the host carries
+    # external co-tenants with 2-3x wall-clock swing; a reader of the
+    # recorded artifact needs the window quality alongside the numbers
+    # (r3's artifact looked like a 36% regression and was load noise).
+    if load_at_start is not None:
+        extras["load_avg_1m_start"] = load_at_start
+    try:
+        extras["load_avg_1m"] = round(os.getloadavg()[0], 2)
+        extras["load_avg_5m"] = round(os.getloadavg()[1], 2)
+    except OSError:
+        pass
+    try:
+        with open("/proc/uptime") as fh:
+            extras["uptime_sec"] = round(float(fh.read().split()[0]))
+    except OSError:
+        pass
 
     print(
         json.dumps(

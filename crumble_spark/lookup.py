@@ -89,7 +89,12 @@ def decode_docs_table(
             sr()
             .select(
                 "committed_at",
-                F.element_at(F.col("summary"), "crumble.n_splits").alias("ns"),
+                # try_element_at, not element_at: under Spark 4 ANSI mode
+                # (a production Iceberg session may not pin it off like
+                # session.py does) a snapshot whose summary lacks the key
+                # would throw MAP_KEY_DOES_NOT_EXIST instead of yielding
+                # null and reaching the isNotNull filter (ADVICE r3)
+                F.try_element_at(F.col("summary"), F.lit("crumble.n_splits")).alias("ns"),
             )
             .filter(F.col("ns").isNotNull())
             .orderBy(F.desc("committed_at"))

@@ -55,11 +55,27 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("n_bytes", F.length("payload").cast("int"))
 
 
+try:  # optional dependency: compressed-format decode needs an image lib
+    from PIL import Image as _PIL_Image
+except ImportError:  # sandbox has no PIL — stub contract stays in force
+    _PIL_Image = None
+
+
 def decode_image_real(payload: bytes) -> np.ndarray:
-    """Integration point for compressed formats (PIL/libvips/ffmpeg)."""
+    """Compressed-format (JPEG/PNG/...) decode via PIL when importable;
+    otherwise the documented NotImplementedError integration point.  The
+    dispatch is tested both ways (tests/test_multimodal.py): with PIL the
+    payload round-trips to an HxWx3 uint8 array, without it the error
+    message says exactly what to install."""
+    if _PIL_Image is not None:
+        import io
+
+        img = _PIL_Image.open(io.BytesIO(payload))
+        arr = np.asarray(img.convert("RGB"), dtype=np.uint8)
+        return arr
     raise NotImplementedError(
         "jpeg/png decoding requires an image library not present in this "
-        "environment; swap in PIL.Image.open(io.BytesIO(payload)) here"
+        "environment; pip install Pillow to enable decode_image_real"
     )
 
 
@@ -81,6 +97,13 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     while len(vals) < 3:
         while pos < len(payload) and payload[pos : pos + 1].isspace():
             pos += 1
+        if pos >= len(payload):
+            # header ran off the end of a truncated payload — the explicit
+            # error the data path already gets (ADVICE r3: was IndexError /
+            # int(b'') ValueError with unhelpful messages)
+            raise ValueError(
+                f"truncated PPM header: {len(vals)}/3 values before EOF"
+            )
         if payload[pos : pos + 1] == b"#":
             while pos < len(payload) and payload[pos] != 0x0A:
                 pos += 1

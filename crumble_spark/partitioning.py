@@ -129,16 +129,24 @@ def derive_skew_stats(
         .agg(
             F.sum(F.col("n_tok").cast("long")).alias("tok"),
             F.percentile_approx("n_tok", quantile).alias("p"),
+            # grouping() distinguishes the rollup grand-total row from a
+            # genuine NULL-source group (ADVICE r3): selecting the total by
+            # `source IS NULL` would pick the null group's percentile as
+            # the global quantile and drop its tokens from the salt total
+            F.grouping("source").alias("is_total"),
         )
         .collect()
     )
-    total = sum((r["tok"] or 0) for r in rows if r["source"] is not None) or 1
+    total = sum((r["tok"] or 0) for r in rows if r["is_total"] == 0) or 1
+    # a genuine NULL source contributes to the total but gets no plan
+    # entry (map literals can't key on null); its rows take the default
+    # salt width in salted_repartition_by_source via coalesce
     plan = {
         r["source"]: int(min(salt_cap, max(base, -(-((r["tok"] or 0) * 2 * n_parts) // total))))
         for r in rows
-        if r["source"] is not None
+        if r["is_total"] == 0 and r["source"] is not None
     }
-    p_global = next(int(r["p"] or 0) for r in rows if r["source"] is None)
+    p_global = next(int(r["p"] or 0) for r in rows if r["is_total"] == 1)
     return int(min(cap, max(floor, p_global * factor))), plan
 
 

@@ -633,9 +633,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _connected_components(pairs: DataFrame) -> DataFrame:
+def _connected_components(pairs: DataFrame, stats: dict | None = None) -> DataFrame:
     """(doc_id, lab=component min) for every node of the pair graph —
-    min-label propagation with pointer jumping (see q_dedup_clusters)."""
+    min-label propagation with pointer jumping (see q_dedup_clusters).
+
+    When `stats` is passed, fills it with the convergence audit
+    {"n_rounds", "n_label_changes"} — surfaced by
+    q_cluster_convergence so a pathological graph (round count creeping
+    toward CLUSTER_MAX_ITERS) is observable in production, the same
+    report-every-bounded-loop discipline as the LSH/gram cap audits."""
     # materialize the edge set ONCE: every iteration joins against it,
     # and without the checkpoint each round would re-execute the whole
     # pipeline upstream of the pairs
@@ -648,6 +654,7 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
         .withColumn("lab", F.col("doc_id"))
         .localCheckpoint(eager=True)
     )
+    n_rounds = total_changes = 0
     for _ in range(CLUSTER_MAX_ITERS):
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
@@ -673,13 +680,44 @@ def _connected_components(pairs: DataFrame) -> DataFrame:
             .count()
         )
         labels = new
+        n_rounds += 1
+        total_changes += changed
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"label propagation did not converge in {CLUSTER_MAX_ITERS} rounds"
         )
+    if stats is not None:
+        stats["n_rounds"] = n_rounds
+        stats["n_label_changes"] = total_changes
     return labels
+
+
+def q_cluster_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convergence audit for the near-dup clustering loop: one row with
+    the round count and total label changes (plus node/component totals
+    for context).  The round count is algorithm-specific (pointer
+    jumping), so this is rows-only by design — its value is operational:
+    n_rounds drifting toward CLUSTER_MAX_ITERS on a production graph is
+    the early warning the r3 verdict asked to surface (#8)."""
+    pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    stats: dict = {}
+    labels = _connected_components(pairs, stats=stats)
+    agg = labels.agg(
+        F.count("*").alias("n"), F.countDistinct("lab").alias("c")
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                stats["n_rounds"],
+                stats["n_label_changes"],
+                int(agg["n"]),
+                int(agg["c"]),
+            )
+        ],
+        "n_rounds int, n_label_changes long, n_nodes long, n_components long",
+    )
 
 
 def _q_dedup_clusters_sql() -> str:
@@ -711,6 +749,7 @@ QUERIES = {
     "dedup_jaccard_gram_stats": q_jaccard_gram_stats,
     "dedup_lsh_verified": q_dedup_lsh_verified,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_cluster_convergence": q_cluster_convergence,
 }
 
 ORACLES = {

@@ -689,7 +689,6 @@ QUERIES = {
     "ann_brute_topk": q_ann_brute_topk,
     "ann_scaled_topk": q_ann_scaled_topk,
     "ann_recall_scaled": q_ann_recall_scaled,
-    "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_scaled": q_embedding_neardup_scaled,
     "emb_bucket_centroids": q_bucket_centroids,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -701,7 +700,6 @@ ORACLES = {
     "ann_brute_topk": Q_ANN_BRUTE_SQL,
     "ann_scaled_topk": Q_ANN_SCALED_SQL,
     "ann_recall_scaled": Q_ANN_RECALL_SCALED_SQL,
-    "embedding_neardup": Q_EMB_NEARDUP_SQL,
     "embedding_neardup_scaled": Q_EMB_NEARDUP_SCALED_SQL,
     "ann_ivf_topk": Q_ANN_IVF_SQL,
     "ann_probe_tradeoff": Q_ANN_PROBE_TRADEOFF_SQL,
@@ -714,9 +712,11 @@ ORACLES = {
 LOCAL_QUERIES = {
     "ann_recall_eval": q_ann_recall,
     "ann_bucketed_topk": q_ann_bucketed_topk,
+    "embedding_neardup": q_embedding_neardup,
 }
 
 LOCAL_ORACLES = {
     "ann_recall_eval": Q_ANN_RECALL_SQL,
     "ann_bucketed_topk": Q_ANN_BUCKETED_SQL,
+    "embedding_neardup": Q_EMB_NEARDUP_SQL,
 }

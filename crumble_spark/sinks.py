@@ -43,6 +43,37 @@ def _hadoop_fs(enc_dir: str):
     return fs, path_cls
 
 
+def _rename_overwrite(tmp, final) -> bool:
+    """Atomic overwrite-rename via Hadoop's FileContext API (HDFS, local);
+    returns False when the scheme has no FileContext (e.g. s3a) or the
+    overwrite rename is otherwise unavailable, so the caller can fall
+    back to delete-then-rename.  fc.rename THROWS on genuine failure
+    (unlike FileSystem.rename's boolean), which we convert to False —
+    the fallback path will then fail loudly if the store is broken."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return False
+    try:
+        jvm = spark._jvm
+        gw = spark.sparkContext._gateway
+        conf = spark._jsc.hadoopConfiguration()
+        uri = final.toUri()
+        fc_cls = jvm.org.apache.hadoop.fs.FileContext
+        fc = (
+            fc_cls.getFileContext(uri, conf)
+            if uri.getScheme()
+            else fc_cls.getFileContext(conf)
+        )
+        opts = gw.new_array(jvm.org.apache.hadoop.fs.Options.Rename, 1)
+        opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
+        fc.rename(tmp, final, opts)
+        return True
+    except Exception:
+        return False
+
+
 def write_store_meta(enc_dir: str, n_splits: int) -> None:
     """Sidecar recording the split routing parameter.  Point lookups
     (lookup.decode_docs) need the SAME n_splits the encoder used — a
@@ -67,15 +98,22 @@ def write_store_meta(enc_dir: str, n_splits: int) -> None:
         out.write(bytearray(payload.encode("utf-8")))
         out.close()
         final = path_cls(f"{enc_dir}/_crumble_meta.json")
-        # Hadoop reports most rename failures via the return value, not
-        # an exception — and we delete the old sidecar first, so a false
-        # here MUST surface or the store silently loses its routing
-        fs.delete(final, False)
-        if not fs.rename(tmp, final):
-            raise OSError(
-                f"rename({tmp}, {final}) returned false — the store sidecar "
-                "was NOT published; lookups would need a hand-passed n_splits"
-            )
+        # Prefer FileContext.rename(OVERWRITE): an atomic republish with
+        # no window where a concurrent reader sees no sidecar (ADVICE r3:
+        # delete-then-rename left one).  Schemes without a FileContext
+        # (e.g. s3a) fall back to delete+rename — there the window is
+        # inherent to the store's non-atomic rename anyway.
+        if not _rename_overwrite(tmp, final):
+            # Hadoop reports most rename failures via the return value,
+            # not an exception — and the fallback deletes the old sidecar
+            # first, so a false here MUST surface or the store silently
+            # loses its routing
+            fs.delete(final, False)
+            if not fs.rename(tmp, final):
+                raise OSError(
+                    f"rename({tmp}, {final}) returned false — the store sidecar "
+                    "was NOT published; lookups would need a hand-passed n_splits"
+                )
         return
     import os
 

@@ -63,17 +63,64 @@ _PA_ENCODED = pa.schema(
 )
 
 
-def list_input_splits(in_path: str) -> list[tuple[str, int]]:
-    """(file, row_group) pairs — local FS / fuse mounts; an object-store
-    deployment swaps in the pyarrow.fs listing, same shape."""
+def list_input_files(in_path: str) -> list[str]:
+    """Parquet file NAMES only — a pure directory listing, no footer
+    opens.  This is the only filesystem metadata work the driver does;
+    an object-store deployment swaps in the pyarrow.fs listing, same
+    shape (one LIST call per 1000 keys, no per-object round trips)."""
     out = []
     for root, _, names in os.walk(in_path):
         for n in sorted(names):
             if n.endswith(".parquet"):
-                f = os.path.join(root, n)
-                for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
-                    out.append((f, rg))
+                out.append(os.path.join(root, n))
     return out
+
+
+def list_input_splits(in_path: str) -> list[tuple[str, int]]:
+    """(file, row_group) pairs, footers read serially — small-scale /
+    test helper.  The job paths use list_input_splits_distributed: at
+    100 TB (10^5-10^6 files) per-file footer round trips on the driver
+    are hours of wall-clock before task 1 launches (VERDICT r3 #4)."""
+    out = []
+    for f in list_input_files(in_path):
+        for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+            out.append((f, rg))
+    return out
+
+
+def list_input_splits_distributed(
+    spark: SparkSession, in_path: str
+) -> list[tuple[str, int]]:
+    """(file, row_group) pairs with footer reads fanned out as a tiny
+    Spark job: the driver lists file NAMES only, executors open the
+    footers in parallel, and only (path string, rg int) rows come back —
+    a few MB even at 10^6 files.  Falls back to the serial walk for a
+    handful of files where a job launch costs more than the footers."""
+    files = list_input_files(in_path)
+    if len(files) <= 16:
+        return [
+            (f, rg)
+            for f in files
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups)
+        ]
+
+    def read_footers(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        _pin_arrow_single_thread()
+        for pdf in batches:
+            rows = []
+            for path in pdf["path"]:
+                for rg in range(pq.ParquetFile(path).metadata.num_row_groups):
+                    rows.append((path, rg))
+            if rows:
+                yield pd.DataFrame(rows, columns=["path", "rg"])
+
+    names = spark.createDataFrame([(f,) for f in files], "path string").repartition(
+        _task_partitions(spark, len(files))
+    )
+    rows = names.mapInPandas(read_footers, schema="path string, rg int").collect()
+    # deterministic order: the serial walk sorts by name then rg; the
+    # distributed collect order is partition-arbitrary
+    return sorted((r["path"], r["rg"]) for r in rows)
 
 
 def _split_name(path: str, rg: int) -> str:
@@ -192,7 +239,7 @@ def encode_job_direct(
     lin_dir = os.path.join(out_dir, "lineage_direct")
     os.makedirs(enc_dir, exist_ok=True)
 
-    splits = list_input_splits(in_path)
+    splits = list_input_splits_distributed(spark, in_path)
     if resume:
         try:
             done = {
@@ -236,7 +283,7 @@ def decode_verify_direct(spark: SparkSession, enc_dir: str) -> dict:
     """Distributed direct decode + verification: every row's blocks are
     decoded and the block-combinable hash compared (V1 analogue at full
     throughput). Returns totals."""
-    splits = list_input_splits(enc_dir)
+    splits = list_input_splits_distributed(spark, enc_dir)
     tasks = spark.createDataFrame(splits, "path string, rg int").repartition(
         _task_partitions(spark, len(splits))
     )
@@ -256,19 +303,33 @@ def decode_verify_direct(spark: SparkSession, enc_dir: str) -> dict:
                 ):
                     hashes = batch.column("row_hash").to_numpy()
                     blocks_col = batch.column("blocks")
-                    bid = blocks_col.values.field("block_id").to_numpy()
-                    cid = blocks_col.values.field("codec_id").to_numpy()
-                    ns = blocks_col.values.field("n").to_numpy()
+                    bid = blocks_col.values.field("block_id").to_numpy().tolist()
+                    cid = blocks_col.values.field("codec_id").to_numpy().tolist()
+                    ns = blocks_col.values.field("n").to_numpy().tolist()
                     payloads = blocks_col.values.field("payload")
                     boffs = blocks_col.offsets.to_numpy()
+                    # zero-copy payload walk, mirror of the encode side:
+                    # a BinaryArray IS (offsets int32, data) — slice the
+                    # data buffer directly instead of per-block .as_py()
+                    # (which builds a Python bytes object via Arrow's
+                    # scalar path for every block)
+                    _, pob, pdb = payloads.buffers()
+                    poffs = (
+                        np.frombuffer(pob, dtype=np.int32)
+                        if pob is not None
+                        else np.zeros(1, np.int32)
+                    )
+                    pbase = payloads.offset
+                    data = memoryview(pdb) if pdb is not None else memoryview(b"")
                     for i in range(len(hashes)):
                         hs = 0
                         ntk = 0
                         for j in range(boffs[i], boffs[i + 1]):
+                            pj = pbase + j
                             chunk = codecs.decode(
-                                int(cid[j]), payloads[j].as_py(), int(ns[j])
+                                cid[j], data[poffs[pj] : poffs[pj + 1]], ns[j]
                             )
-                            hs += hashing.block_hash(int(bid[j]), chunk)
+                            hs += hashing.block_hash(bid[j], chunk)
                             ntk += len(chunk)
                         if hs & ((1 << 63) - 1) != int(hashes[i]):
                             raise ValueError(f"hash mismatch in {path} rg{rg} row {i}")

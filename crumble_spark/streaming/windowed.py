@@ -52,17 +52,17 @@ def hourly_rollup_stream(
     """
     if output_mode == "append" and max_files_per_trigger is None:
         # append emits a window only when a LATER batch's watermark closes
-        # it — a bounded input consumed in one availableNow batch yields
-        # zero rows, which reads as silent data loss; make that loud
-        import warnings
-
-        warnings.warn(
-            "hourly_rollup_stream in append mode without max_files_per_trigger: "
+        # it — this function always drains with availableNow, so a bounded
+        # input consumed in one micro-batch yields ZERO rows.  That reads
+        # as silent data loss, so it is an error, not a warning (ADVICE
+        # r3: a caller relying on the old 'complete' default would
+        # otherwise get an empty result signaled only via warnings.warn).
+        raise ValueError(
+            "hourly_rollup_stream in append mode requires max_files_per_trigger: "
             "a bounded input processed in a single micro-batch emits NO rows "
             "(the watermark never advances within a batch); set "
             "max_files_per_trigger to split batches, or output_mode='complete' "
-            "for bounded equivalence checks",
-            stacklevel=2,
+            "for bounded equivalence checks"
         )
     reader = spark.readStream.schema(EVENTS_SCHEMA)
     if max_files_per_trigger is not None:

@@ -37,6 +37,28 @@ def test_lookup_resolves_n_splits_from_sidecar(spark, tmp_path):
     assert {r["doc_id"] for r in got} == set(ids)
 
 
+def test_sidecar_republish_is_atomic_overwrite(spark, tmp_path):
+    # republish over an existing sidecar must go through the FileContext
+    # overwrite-rename (no delete-then-rename window where a concurrent
+    # reader sees no sidecar — ADVICE r3), and the new content must win
+    from crumble_spark import sinks
+
+    out = str(tmp_path / "store")
+    sinks.write_store_meta(out, 16)
+    assert sinks.read_store_meta(out)["n_splits"] == 16
+    # the local-fs FileContext is always available → overwrite path taken
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jvm_path(f"{out}/_probe.tmp")
+    fs = jvm_path(out).getFileSystem(spark._jsc.hadoopConfiguration())
+    o = fs.create(tmp, True)
+    o.write(bytearray(b"x"))
+    o.close()
+    assert sinks._rename_overwrite(tmp, jvm_path(f"{out}/_crumble_meta.json"))
+    # republish restores valid JSON over the clobbered sidecar
+    sinks.write_store_meta(out, 32)
+    assert sinks.read_store_meta(out)["n_splits"] == 32
+
+
 def test_lookup_refuses_sidecarless_store_without_n_splits(spark, tmp_path):
     import pytest
 
@@ -102,3 +124,17 @@ def test_decode_docs_table_via_snapshot_property(spark, tmp_path):
             spark, "lake.enc", ids, reader=cat.read,
             snapshots_reader=lambda: empty,
         )
+
+    # under ANSI mode (Spark 4 default; a production Iceberg session may
+    # not pin it off) the missing map key must still reach the designed
+    # ValueError, not throw MAP_KEY_DOES_NOT_EXIST (ADVICE r3 →
+    # try_element_at)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        with pytest.raises(ValueError, match="crumble.n_splits"):
+            lookup.decode_docs_table(
+                spark, "lake.enc", ids, reader=cat.read,
+                snapshots_reader=lambda: empty,
+            )
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

@@ -21,8 +21,34 @@ def test_stub_decode_shapes_are_contractual():
     assert img.dtype == np.uint8 and img.ndim == 3 and img.shape[2] == 3
     # deterministic: same payload, same pixels
     np.testing.assert_array_equal(img, mm.decode_image_stub(payload))
-    with pytest.raises(NotImplementedError):
-        mm.decode_image_real(payload)
+
+
+def test_decode_image_real_without_pil_raises_actionable(monkeypatch):
+    # the no-PIL branch must stay reachable and actionable even on hosts
+    # that have Pillow installed
+    monkeypatch.setattr(mm, "_PIL_Image", None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_image_real(bytes(range(16)))
+
+
+@pytest.mark.skipif(mm._PIL_Image is None, reason="Pillow not installed")
+def test_decode_image_real_with_pil_roundtrips_png():
+    import io
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    buf = io.BytesIO()
+    mm._PIL_Image.fromarray(img).save(buf, format="PNG")
+    out = mm.decode_image_real(buf.getvalue())
+    assert out.shape == (4, 5, 3) and out.dtype == np.uint8
+    np.testing.assert_array_equal(out, img)
+
+
+def test_ppm_truncated_header_raises_explicit():
+    # a payload cut inside the header must raise the explicit truncation
+    # error, not IndexError / int(b'') (ADVICE r3)
+    for cut in (b"P6", b"P6\n", b"P6\n12", b"P6\n12 13\n", b"P6\n# only comment"):
+        with pytest.raises(ValueError, match="truncated PPM header"):
+            mm.decode_ppm(cut)
 
 
 def test_extract_features_df(spark):

@@ -180,3 +180,30 @@ def test_derive_skew_stats_matches_separate_passes(spark):
     thr, plan = derive_skew_stats(df, n_parts=64)
     assert thr == derive_giant_threshold(df)
     assert plan == derive_salt_plan(df, n_parts=64)
+
+
+def test_derive_skew_stats_handles_null_source_group(spark):
+    # ADVICE r3: the grand-total rollup row was selected by `source IS
+    # NULL`, so a genuine NULL-source group could be mistaken for it —
+    # wrong global percentile AND its tokens dropped from the salt total.
+    # grouping() now disambiguates: the threshold must equal the
+    # all-rows percentile-derived value and the null group's tokens must
+    # count toward the total (visible as a smaller hot-source share).
+    from crumble_spark.partitioning import derive_giant_threshold, derive_skew_stats
+
+    rows = (
+        [(f"hot-{i:05d}", [1] * 50, 50, "hot") for i in range(300)]
+        # null-source docs with a much longer length than anything else:
+        # if the total row were confused with this group, the percentile
+        # would jump to ~5000
+        + [(f"null-{i:05d}", [1] * 5000, 5000, None) for i in range(4)]
+    )
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    thr, plan = derive_skew_stats(df, n_parts=64)
+    assert thr == derive_giant_threshold(df)
+    # the null group holds 20k of 35k tokens; if dropped from the total,
+    # hot's share would be 100% and its bucket count would hit ~2x n_parts
+    assert None not in plan
+    assert plan["hot"] <= 64  # not the whole-corpus share

@@ -122,6 +122,16 @@ def test_windowed_rollup_append_mode_emits_closed_windows(spark, tmp_path):
     assert not any(k[0].startswith("2024-01-02") for k in got)
 
 
+def test_windowed_append_without_batch_split_raises(spark, tmp_path):
+    # append + availableNow in one micro-batch emits zero rows — silent
+    # data loss; the combination must fail loudly at call time, before
+    # any stream starts (ADVICE r3: was a warnings.warn)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        windowed.hourly_rollup_stream(spark, str(tmp_path / "nonexistent"))
+
+
 def test_stateful_dedup_across_batches(spark, tmp_path):
     in_dir = str(tmp_path / "docs_in")
     out = str(tmp_path / "dedup_out")

@@ -110,11 +110,14 @@ def test_many_files_listing_is_distributed_no_driver_footer_reads(
 ):
     # At 100 TB the input is 10^5-10^6 files; opening every footer on the
     # driver serializes hours of metadata I/O before task 1 (VERDICT r3).
-    # With > 16 files the job paths must fan the footer reads out as a
-    # Spark job: zero driver-side pq.ParquetFile opens, identical split
-    # list, identical encode output.
+    # Above the crossover the job paths must fan the footer reads out as
+    # a Spark job: zero driver-side pq.ParquetFile opens, identical split
+    # list, identical encode output.  (Crossover lowered to 16 here so
+    # 20 files exercise the distributed path without a 1000-file fixture.)
     import pyarrow as pa
     import pyarrow.parquet as pq
+
+    monkeypatch.setattr(direct, "DISTRIBUTED_LISTING_MIN_FILES", 16)
 
     many = tmp_path / "many"
     many.mkdir()

@@ -33,6 +33,20 @@ CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
 ROWS_PER_SF = 160_000  # sf0.1 → 16k docs ≈ 20M tokens with the skew tail
 
 
+def _cpu_jiffies() -> tuple[int, int] | None:
+    """(steal, total) jiffies from /proc/stat — the delta across the run
+    gives steal_pct, the direct measure of hypervisor co-tenant pressure
+    (load average can't see steal; a 'calm' load with high steal still
+    runs 3x slow)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()[1:]
+        vals = [int(x) for x in parts[:8]]
+        return vals[7], sum(vals)
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def sf_of(sf_dir: str) -> float:
     try:
         return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
@@ -57,6 +71,7 @@ def main() -> None:
         load_at_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_at_start = None
+    cpu_at_start = _cpu_jiffies()
     spark = get_spark(app="crumble-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -133,6 +148,11 @@ def main() -> None:
     # (r3's artifact looked like a 36% regression and was load noise).
     if load_at_start is not None:
         extras["load_avg_1m_start"] = load_at_start
+    cpu_at_end = _cpu_jiffies()
+    if cpu_at_start and cpu_at_end and cpu_at_end[1] > cpu_at_start[1]:
+        steal = cpu_at_end[0] - cpu_at_start[0]
+        total = cpu_at_end[1] - cpu_at_start[1]
+        extras["steal_pct"] = round(100.0 * steal / total, 1)
     try:
         extras["load_avg_1m"] = round(os.getloadavg()[0], 2)
         extras["load_avg_5m"] = round(os.getloadavg()[1], 2)

@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from crumble_spark.session import get_spark
 from crumble_spark.sources import parquet_direct as direct
 
+def jif():
+    try:
+        with open("/proc/stat") as fh:
+            v = [int(x) for x in fh.readline().split()[1:9]]
+        return v[7], sum(v)
+    except Exception:
+        return None
+
 master, tok_path, out = sys.argv[1], sys.argv[2], sys.argv[3]
 spark = get_spark(app=f"scaling-{master}", master=master)
 spark.sparkContext.setLogLevel("ERROR")
@@ -44,10 +52,13 @@ def noop(batches):
 tok.limit(2000).mapInPandas(noop, schema="n long").collect()  # warm python workers
 
 shutil.rmtree(out, ignore_errors=True)
+j0 = jif()
 t0 = time.perf_counter()
 direct.encode_job_direct(spark, tok_path, out, block_size=4096, n_splits=64, resume=False)
 dt = time.perf_counter() - t0
-print(json.dumps({"sec": dt, "tokens": int(n_tokens)}))
+j1 = jif()
+steal = round(100.0 * (j1[0] - j0[0]) / (j1[1] - j0[1]), 1) if j0 and j1 and j1[1] > j0[1] else None
+print(json.dumps({"sec": dt, "tokens": int(n_tokens), "steal_pct": steal}))
 spark.stop()
 """
 
@@ -98,7 +109,11 @@ def main() -> None:
         prev = results.get(level)
         if prev is None or r["sec"] < prev["sec"]:
             results[level] = r
-        print(f"local[{level}]: {r['sec']:.2f}s  {r['tokens_per_sec']:,} tok/s", file=sys.stderr)
+        print(
+            f"local[{level}]: {r['sec']:.2f}s  {r['tokens_per_sec']:,} tok/s"
+            f"  steal={r.get('steal_pct')}%",
+            file=sys.stderr,
+        )
     eff = results[4 * n]["tokens_per_sec"] / results[n]["tokens_per_sec"] / 4
     print(
         json.dumps(
@@ -110,6 +125,8 @@ def main() -> None:
                 f"sec_local{4 * n}": round(results[4 * n]["sec"], 2),
                 f"tput_local{n}": results[n]["tokens_per_sec"],
                 f"tput_local{4 * n}": results[4 * n]["tokens_per_sec"],
+                f"steal_local{n}": results[n].get("steal_pct"),
+                f"steal_local{4 * n}": results[4 * n].get("steal_pct"),
                 "scaling_efficiency": round(eff, 3),
             }
         )

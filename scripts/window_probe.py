@@ -1,0 +1,52 @@
+#!/usr/bin/env python
+"""Measurement-window quality probe: single-core kernel rate + steal%.
+
+The host carries external co-tenants whose pressure load-average cannot
+see (hypervisor steal).  Calm reference: kernel >= 7 M tok/s/core and
+steal < ~5%.  Run before bench.py / scaling_bench.py; don't record
+round-over-round comparisons from a window that fails both.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+from crumble_spark.encode import encode_flat  # noqa: E402
+
+
+def jiffies():
+    with open("/proc/stat") as fh:
+        v = [int(x) for x in fh.readline().split()[1:9]]
+    return v[7], sum(v)
+
+
+def main() -> None:
+    rng = np.random.default_rng(7)
+    lens = rng.integers(200, 2000, 2000)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    offs[1:] = np.cumsum(lens)
+    flat = rng.integers(0, 500, offs[-1]).astype(np.int32)
+    encode_flat(flat, offs, 4096)  # warm
+    j0 = jiffies()
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        encode_flat(flat, offs, 4096)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    j1 = jiffies()
+    steal = 100.0 * (j1[0] - j0[0]) / max(1, j1[1] - j0[1])
+    rate = offs[-1] / best / 1e6
+    print(
+        f"kernel {rate:.2f} M tok/s/core  steal {steal:.1f}%  "
+        f"load {os.getloadavg()[0]:.2f}  "
+        f"verdict: {'CALM' if rate >= 6.5 and steal < 8 else 'NOISY'}"
+    )
+
+
+if __name__ == "__main__":
+    main()

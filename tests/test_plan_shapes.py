@@ -16,20 +16,28 @@ def _plan(df) -> str:
 
 
 def _hinted_subtrees(df) -> list:
-    """Subtree strings of every ResolvedHint node in the analyzed plan.
+    """Subtree strings of every BROADCAST-strategy ResolvedHint node in
+    the analyzed plan.
 
-    A join-strategy hint (F.broadcast) forces a driver-side collect of the
-    hinted side regardless of its size; only sets that are bounded BY
-    CONSTRUCTION (the hot-gram stop list, a handful of query vectors) may
-    carry one.  Corpus-proportional sets (LSH candidate pairs, exact-dup
-    drop lists) must be plain equi-joins so AQE picks broadcast only when
-    the runtime size actually fits.
+    A broadcast hint forces a driver-side collect of the hinted side
+    regardless of its size; only sets that are bounded BY CONSTRUCTION
+    (a handful of query vectors, a 25-row dimension) may carry one.
+    Corpus-proportional sets (LSH candidate pairs, exact-dup drop lists,
+    gram/bucket verdicts) must NOT be broadcast-hinted — AQE may pick
+    broadcast only when the runtime size actually fits.  Shuffle-side
+    hints (merge/shuffle_hash) point the OTHER way — they forbid a
+    broadcast — and are deliberately not flagged (the r5 cap verdicts
+    carry merge hints precisely to keep AQE from broadcasting a
+    corpus-proportional set at small SF).
     """
     out = []
     stack = [df._jdf.queryExecution().analyzed()]
     while stack:
         node = stack.pop()
-        if node.getClass().getSimpleName() == "ResolvedHint":
+        if (
+            node.getClass().getSimpleName() == "ResolvedHint"
+            and "broadcast" in node.toString().splitlines()[0].lower()
+        ):
             out.append(node.toString())
         children = node.children()
         for i in range(children.size()):
@@ -247,13 +255,55 @@ def test_connected_components_multiple_components(spark):
 
 
 def test_jaccard_gram_side_not_broadcast_hinted(spark):
-    # the hot-gram (df > GRAM_DF_CAP) set is corpus-proportional on a
-    # boilerplate-heavy web corpus (10^8-10^9 grams) — it must be a window
-    # flag on the exploded rows, never a broadcast anti-join (VERDICT r3
-    # #3).  Neither jaccard nor lsh_verified may hint any gram-derived set.
+    # the gram-cap verdict sets are corpus-proportional on a boilerplate-
+    # heavy web corpus (10^8-10^10 grams) — never broadcast-hint them
+    # (VERDICT r3 #3); r5 uses a count + semi-join with a merge hint,
+    # which _hinted_subtrees deliberately ignores (it forbids broadcast).
     assert _hinted_subtrees(dedup.q_dedup_jaccard(spark, SF_DIR)) == []
     for h in _hinted_subtrees(dedup.q_dedup_lsh_verified(spark, SF_DIR)):
         assert "gram" not in h, h[:500]
+
+
+def test_lsh_degenerate_band_key_bounded(spark):
+    # VERDICT r4 #1: one band key shared by ALL docs must be dropped at
+    # count time (map-side-combinable partials + streaming semi-join
+    # probe), never materialized as one giant collect_set array.  Shape:
+    # the plan must cap via a LeftSemi join BEFORE the collect_set
+    # aggregate; behavior: only the small buckets' pairs survive.
+    from crumble_spark.pipeline.dedup import LSH_MAX_BUCKET, _bucket_pairs
+
+    n_hot = 5 * LSH_MAX_BUCKET
+    rows = [(i, 0, "hot") for i in range(n_hot)]
+    rows += [(1000, 1, "a"), (1001, 1, "a"), (2000, 2, "b"), (2001, 2, "b"), (2002, 2, "b")]
+    banded = spark.createDataFrame(rows, "doc_id long, band int, key string")
+    out = _bucket_pairs(banded)
+    plan = _plan(out)
+    assert "LeftSemi" in plan, plan[:2000]
+    # the size pre-pass is a plain count aggregate, so no collect_set may
+    # appear below the semi-join: every collect_set in the plan sits above it
+    first_semi = plan.index("LeftSemi")
+    assert "collect_set" not in plan[first_semi:], plan[first_semi:][:2000]
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
+    assert got == {(1000, 1001), (2000, 2001), (2000, 2002), (2001, 2002)}
+
+
+def test_hot_key_caps_use_two_level_counts_not_key_windows(spark):
+    # VERDICT r4 #2: the gram-df cap and the prefix group size must come
+    # from map-side-combinable groupBy counts, NOT from count windows
+    # partitioned on the hot key (a window colocates and buffers every
+    # occurrence of a degenerate key in one task before the filter).
+    # Remaining windows are per-doc (bounded by doc length) or the rank
+    # window over already-filtered duplicate groups.
+    for df in (dedup.q_dedup_jaccard(spark, SF_DIR), dedup._capped_grams(spark, SF_DIR)):
+        plan = _plan(df)
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln:
+                assert "gram" not in ln, ln
+    plan = _plan(dedup.q_dedup_prefix(spark, SF_DIR))
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "count(1)" not in ln, ln  # only the rank window remains
+    assert "LeftSemi" in plan
 
 
 def test_revenue_by_nation_orders_not_broadcast_hinted(spark):

@@ -47,6 +47,33 @@ def _cpu_jiffies() -> tuple[int, int] | None:
         return None
 
 
+def _kernel_probe_mtoks() -> float:
+    """Single-core kernel rate (M tok/s) on a fixed synthetic input — the
+    5-second window-quality probe run inline (VERDICT r4 #5) so every
+    recorded artifact carries its own normalizer: q1 divided by this rate
+    compares rounds without re-litigating host noise (the host's
+    co-tenant pressure swings wall-clock 2-3x and is invisible to the
+    steal counter when it comes via SMT siblings / memory bandwidth).
+    Same workload as scripts/window_probe.py; calm reference ≈ 7 M+."""
+    import numpy as np
+
+    from crumble_spark.encode import encode_flat
+
+    rng = np.random.default_rng(7)
+    lens = rng.integers(200, 2000, 2000)
+    offs = np.zeros(len(lens) + 1, np.int64)
+    offs[1:] = np.cumsum(lens)
+    flat = rng.integers(0, 500, offs[-1]).astype(np.int32)
+    encode_flat(flat, offs, 4096)  # warm
+    best = None
+    for _ in range(3):
+        t0 = time.perf_counter()
+        encode_flat(flat, offs, 4096)
+        dt = time.perf_counter() - t0
+        best = dt if best is None else min(best, dt)
+    return round(offs[-1] / best / 1e6, 2)
+
+
 def sf_of(sf_dir: str) -> float:
     try:
         return float(sf_dir.rstrip("/").rsplit("sf", 1)[1])
@@ -72,6 +99,7 @@ def main() -> None:
     except OSError:
         load_at_start = None
     cpu_at_start = _cpu_jiffies()
+    probe_start = _kernel_probe_mtoks()
     spark = get_spark(app="crumble-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -148,6 +176,10 @@ def main() -> None:
     # (r3's artifact looked like a 36% regression and was load noise).
     if load_at_start is not None:
         extras["load_avg_1m_start"] = load_at_start
+    # probe before AND after the spark work: a mid-run co-tenant burst
+    # shows as a start/end disagreement; normalize q1 by the min
+    extras["probe_mtoks_core_start"] = probe_start
+    extras["probe_mtoks_core"] = _kernel_probe_mtoks()
     cpu_at_end = _cpu_jiffies()
     if cpu_at_start and cpu_at_end and cpu_at_end[1] > cpu_at_start[1]:
         steal = cpu_at_end[0] - cpu_at_start[0]

@@ -100,12 +100,20 @@ def derive_salt_plan(
     `base`; one hot unsplittable source gets buckets proportional to the
     tasks its work should fill (2x headroom), so it cannot pin stragglers.
     One groupBy over (source) with partial aggregation; the result is a
-    handful of rows (sources are few by construction)."""
+    handful of rows (sources are few by construction).
+
+    A genuine NULL source contributes its tokens to the total but gets no
+    plan entry — create_map literals cannot key on null, and
+    derive_skew_stats applies the same filter, keeping the documented
+    `plan == derive_salt_plan(df)` invariant on corpora with null sources
+    (ADVICE r4); null-source rows take the default salt width via the
+    coalesce in salted_repartition_by_source."""
     rows = df.groupBy("source").agg(F.sum(F.col("n_tok").cast("long")).alias("tok")).collect()
     total = sum(r["tok"] or 0 for r in rows) or 1
     return {
         r["source"]: int(min(cap, max(base, -(-((r["tok"] or 0) * 2 * n_parts) // total))))
         for r in rows
+        if r["source"] is not None
     }
 
 

@@ -45,11 +45,13 @@ def _hadoop_fs(enc_dir: str):
 
 def _rename_overwrite(tmp, final) -> bool:
     """Atomic overwrite-rename via Hadoop's FileContext API (HDFS, local);
-    returns False when the scheme has no FileContext (e.g. s3a) or the
-    overwrite rename is otherwise unavailable, so the caller can fall
-    back to delete-then-rename.  fc.rename THROWS on genuine failure
-    (unlike FileSystem.rename's boolean), which we convert to False —
-    the fallback path will then fail loudly if the store is broken."""
+    returns False ONLY when the scheme has no FileContext at all (e.g.
+    s3a raises UnsupportedFileSystemException) so the caller can fall
+    back to its inherently non-atomic delete-then-rename.  A genuine
+    rename failure on a scheme that HAS FileContext (HDFS permission or
+    quota error) propagates: converting it to False would silently
+    degrade to the delete-then-rename window this API exists to close,
+    deleting the old sidecar before failing (ADVICE r4)."""
     from pyspark.sql import SparkSession
 
     spark = SparkSession.getActiveSession()
@@ -70,8 +72,10 @@ def _rename_overwrite(tmp, final) -> bool:
         opts[0] = jvm.org.apache.hadoop.fs.Options.Rename.OVERWRITE
         fc.rename(tmp, final, opts)
         return True
-    except Exception:
-        return False
+    except Exception as e:
+        if "UnsupportedFileSystemException" in str(e):
+            return False
+        raise
 
 
 def write_store_meta(enc_dir: str, n_splits: int) -> None:

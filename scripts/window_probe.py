@@ -19,9 +19,18 @@ from crumble_spark.encode import encode_flat  # noqa: E402
 
 
 def jiffies():
+    """(steal, busy) jiffies across all CPUs.  The probe is single-core,
+    so normalizing steal against TOTAL jiffies dilutes it ~1/N on a
+    mostly-idle N-core host (ADVICE r4) — busy (non-idle, non-iowait)
+    jiffies is the honest denominator: while only the probe runs, busy
+    ≈ the probe core's jiffies.  Still advisory: SMT-sibling and memory-
+    bandwidth pressure never show up as steal at all (measured 1.3-6.1 M
+    tok/s swings at near-zero steal); the kernel-rate floor carries the
+    verdict."""
     with open("/proc/stat") as fh:
         v = [int(x) for x in fh.readline().split()[1:9]]
-    return v[7], sum(v)
+    busy = sum(v) - v[3] - v[4]  # drop idle + iowait
+    return v[7], busy
 
 
 def main() -> None:

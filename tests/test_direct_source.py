@@ -172,3 +172,34 @@ def test_direct_resume_skips_done_splits(spark, tok_dir, tmp_path):
     direct.encode_job_direct(spark, tok_dir, out, block_size=256, n_splits=16)
     lin2 = spark.read.parquet(f"{out}/lineage_direct")
     assert lin2.count() == n1  # resume appended nothing
+
+def test_listing_order_identical_for_nested_dirs(spark, tmp_path, monkeypatch):
+    # ADVICE r4: os.walk visits per-directory (root's files before
+    # subdirs'), which is NOT globally lexicographic — e.g. root/z.parquet
+    # walks before root/a/x.parquet.  Both listing paths must return the
+    # bit-identical (path, rg)-sorted list on nested layouts or
+    # _task_partitions groups splits differently across the crossover.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = tmp_path / "nested"
+    (root / "a").mkdir(parents=True)
+    t = pa.table(
+        {
+            "doc_id": pa.array(["d"], pa.string()),
+            "tokens": pa.array([[1, 2, 3]], pa.list_(pa.int32())),
+            "n_tok": pa.array([3], pa.int32()),
+            "source": pa.array(["web"], pa.string()),
+        }
+    )
+    # root-level file sorts AFTER the subdir file lexicographically but
+    # BEFORE it in os.walk order — the exact divergence case
+    pq.write_table(t, str(root / "z.parquet"))
+    pq.write_table(t, str(root / "a" / "x.parquet"))
+
+    serial = direct.list_input_splits(str(root))
+    assert serial == sorted(serial)
+    assert [p.rsplit("/", 2)[-1] for p, _ in serial] == ["x.parquet", "z.parquet"]
+
+    monkeypatch.setattr(direct, "DISTRIBUTED_LISTING_MIN_FILES", 1)
+    assert direct.list_input_splits_distributed(spark, str(root)) == serial

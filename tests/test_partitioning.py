@@ -207,3 +207,29 @@ def test_derive_skew_stats_handles_null_source_group(spark):
     # hot's share would be 100% and its bucket count would hit ~2x n_parts
     assert None not in plan
     assert plan["hot"] <= 64  # not the whole-corpus share
+
+def test_derive_salt_plan_agrees_with_skew_stats_on_null_sources(spark):
+    # ADVICE r4: derive_salt_plan emitted a None key for a genuine NULL
+    # source while derive_skew_stats filtered it, breaking the documented
+    # `plan == derive_salt_plan(df)` invariant and feeding F.lit(None)
+    # into the create_map salt lookup.  Both paths must now agree and
+    # the plan must be null-free (null rows take the coalesce default).
+    from crumble_spark.partitioning import (
+        derive_salt_plan,
+        derive_skew_stats,
+        salted_repartition_by_source,
+    )
+
+    rows = [(f"hot-{i:05d}", [1] * 50, 50, "hot") for i in range(300)] + [
+        (f"null-{i:05d}", [1] * 500, 500, None) for i in range(8)
+    ]
+    df = spark.createDataFrame(
+        rows, schema="doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    plan = derive_salt_plan(df, n_parts=64)
+    assert None not in plan
+    _, plan2 = derive_skew_stats(df, n_parts=64)
+    assert plan == plan2
+    # the map literal must build and route null-source rows via the default
+    out = salted_repartition_by_source(df, 8, plan)
+    assert out.count() == len(rows)

@@ -806,7 +806,6 @@ QUERIES = {
     "dedup_prefix": q_dedup_prefix,
     "dedup_minhash_lsh": q_dedup_minhash,
     "dedup_lsh_bucket_stats": q_lsh_bucket_stats,
-    "dedup_simhash_sig": q_simhash,
     "dedup_simhash48_pairs": q_simhash48_pairs,
     "dedup_ngram_jaccard": q_dedup_jaccard,
     "dedup_jaccard_gram_stats": q_jaccard_gram_stats,
@@ -821,7 +820,6 @@ ORACLES = {
     "dedup_prefix": Q_DEDUP_PREFIX_SQL,
     "dedup_minhash_lsh": Q_DEDUP_MINHASH_SQL,
     "dedup_lsh_bucket_stats": Q_LSH_BUCKET_STATS_SQL,
-    "dedup_simhash_sig": Q_SIMHASH_SQL,
     "dedup_simhash48_pairs": _q_simhash48_sql(),
     "dedup_ngram_jaccard": Q_DEDUP_JACCARD_SQL,
     "dedup_jaccard_gram_stats": Q_JACCARD_GRAM_STATS_SQL,
@@ -830,12 +828,15 @@ ORACLES = {
 
 # Parity baselines retired from the driver registry (the driver records at
 # most 50 correctness rows; these are superseded by deploy-width variants —
-# 16-bit simhash pairs by the 48-bit 4x12-band query) but still verified
-# locally every run via tests/test_oracles.py.
+# 16-bit simhash signature/pairs by the 48-bit 4x12-band query; the sig
+# slot freed r5's mm_png_decode row) but still verified locally every run
+# via tests/test_oracles.py.
 LOCAL_QUERIES = {
+    "dedup_simhash_sig": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash,
 }
 
 LOCAL_ORACLES = {
+    "dedup_simhash_sig": Q_SIMHASH_SQL,
     "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
 }

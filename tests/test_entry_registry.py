@@ -43,3 +43,24 @@ def test_sampling_family_registered_early():
     names = list(entry.queries())
     for q in ("sample_stratified", "sample_token_budget", "corpus_pack_plan"):
         assert names.index(q) < 20, f"{q} registered at position {names.index(q)}"
+
+
+def test_no_silently_unregistered_query_functions():
+    # inverse guard (VERDICT r4 #8): r3 lost the sampling family because a
+    # query existed in code but fell out of the registered window.  Every
+    # q_* callable a pipeline module defines must be a value of its
+    # QUERIES or LOCAL_QUERIES — defining a query and registering it
+    # nowhere is the silent-drop failure mode this pins.
+    orphans = {}
+    for m in entry._MODULES:
+        reg = set()
+        for d in ("QUERIES", "LOCAL_QUERIES"):
+            reg |= set(map(id, getattr(m, d, {}).values()))
+        missing = [
+            n
+            for n, f in vars(m).items()
+            if n.startswith("q_") and callable(f) and id(f) not in reg
+        ]
+        if missing:
+            orphans[m.__name__] = missing
+    assert not orphans, f"query functions registered nowhere: {orphans}"

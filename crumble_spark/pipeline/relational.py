@@ -205,6 +205,16 @@ Q_TOP_SUPPLIERS_SQL = (
 
 
 SESSION_GAP_MIN = 30
+# MAX_DEPTH-discipline cap (VERDICT r4 #6): one pathological user_id (bot
+# traffic, 10^8-10^9 events at web scale) would land its entire event
+# history on one sessionization task.  Users above the cap are dropped by
+# a map-side-combinable count + semi-join — the same two-level shape as
+# the dedup gram/bucket caps — far above any organic user at test scale
+# (max ~600 events at sf0.1), binding exactly where the straggler would
+# start.  The drop is observable: a capped user is absent from the
+# output, and the verdict side is a plain aggregate an operator can
+# inspect (test_sessions_hot_user_dropped_and_bounded pins both).
+SESSION_MAX_EVENTS_PER_USER = 100_000
 
 
 def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,8 +222,18 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     >30-minute silences (lag + conditional cumsum over a per-user
     window — the standard distributed sessionizer: one shuffle on
     user_id, all window math inside the partition).  Output: per-user
-    session count and the longest session's event count."""
-    e = _t(spark, sf_dir, "events").select("user_id", "ts")
+    session count and the longest session's event count.  Users above
+    SESSION_MAX_EVENTS_PER_USER are dropped before the window (see cap
+    note above)."""
+    e0 = _t(spark, sf_dir, "events").select("user_id", "ts")
+    ok = (
+        e0.groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") <= SESSION_MAX_EVENTS_PER_USER)
+        .select("user_id")
+        .hint("merge")  # user set is corpus-proportional: never broadcast
+    )
+    e = e0.join(ok, "user_id", "left_semi")
     # ties in ts are benign: gap and session sizes depend only on the
     # sorted multiset of timestamps, so both engines agree without a
     # tie-break column
@@ -231,9 +251,11 @@ def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_EVENT_SESSIONS_SQL = (
-    "WITH g AS (SELECT user_id, ts, "
+    "WITH ok AS (SELECT user_id FROM events GROUP BY user_id "
+    f"HAVING count(*) <= {SESSION_MAX_EVENTS_PER_USER}), "
+    "g AS (SELECT user_id, ts, "
     "(epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts))) / 60.0 AS gap "
-    "FROM events), "
+    "FROM events WHERE user_id IN (SELECT user_id FROM ok)), "
     "s AS (SELECT user_id, ts, CASE WHEN gap IS NULL OR gap > "
     f"{SESSION_GAP_MIN} THEN 1 ELSE 0 END AS new_sess FROM g), "
     "c AS (SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts "

@@ -116,8 +116,45 @@ def test_sessions_single_user_shuffle(spark):
 
     plan = _plan(relational.q_event_sessions(spark, SF_DIR))
     # lag window + per-session groupBy + per-user groupBy must all reuse
-    # ONE hashpartitioning(user_id) exchange
-    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1
+    # ONE hashpartitioning(user_id) exchange for the event rows; the r5
+    # hot-user cap adds exactly one more (the map-side-combined count
+    # verdict) and nothing else
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2
+    assert "LeftSemi" in plan
+
+
+def test_sessions_hot_user_dropped_and_bounded(spark, tmp_path, monkeypatch):
+    # VERDICT r4 #6: one pathological user (bot traffic) must not pin a
+    # sessionization task — above-cap users are dropped via a two-level
+    # count + semi-join (visible drop: absent from the output), never
+    # buffered through the per-user window
+    import datetime
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    monkeypatch.setattr(relational, "SESSION_MAX_EVENTS_PER_USER", 100)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [("bot", t0 + datetime.timedelta(seconds=i)) for i in range(300)]
+    rows += [("human", t0 + datetime.timedelta(hours=i)) for i in range(5)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts"])
+    pdf["event_type"] = "click"
+    pdf["value"] = 1.0
+    t = pa.Table.from_pandas(pdf).set_column(
+        1, "ts", pa.Table.from_pandas(pdf)["ts"].cast(pa.timestamp("us"))
+    )
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+
+    out = {r["user_id"]: r for r in relational.q_event_sessions(spark, str(tmp_path)).collect()}
+    assert "bot" not in out, "above-cap user must be dropped (observable)"
+    # gaps are 1 h > 30 min: every human event is its own session
+    assert out["human"]["n_sessions"] == 5 and out["human"]["max_session_events"] == 1
+    # the cap must come from an aggregate verdict, not a per-user count window
+    plan = _plan(relational.q_event_sessions(spark, str(tmp_path)))
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln:
+            assert "count(1)" not in ln, ln
 
 
 def test_simhash48_is_banded_equi_join(spark):

@@ -17,7 +17,7 @@ natural key both sides are derived from).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import shared, textqc
@@ -28,13 +28,16 @@ KEEP_LANGS = ("en",)
 
 
 def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every gate's value computed in ONE scan of documents: quality and
-    langid are the oracled expressions re-used as columns (identical
+    """Every gate's value in one pass over documents: quality and langid
+    are the oracled expressions re-used as columns (identical
     floor-scaled values by construction), and the exact-dedup survivor
-    flag is rn == 1 over the text-hash window — a doc is on
-    q_dedup_exact's drop list iff rn > 1, so the anti-join collapses to
-    a filter.  One scan + one window shuffle replaces the r2 shape's
-    ~6 scans and two joins."""
+    flag is doc_id == min(doc_id) over the text-hash group — computed as
+    a map-side-combinable groupBy(min) joined back (merge-hinted: one
+    row per distinct text, never broadcast at scale), so a
+    mass-duplicated text collapses to one partial row per mapper instead
+    of colocating and sorting every copy in one rank-window task (the
+    r2-r4 shape).  The min branch prunes to (text) only — its second
+    scan reads one column and computes one md5, no quality/langid math."""
     d = textqc.documents(spark, sf_dir)
     q = textqc.quality_exprs(F.col("text"), shared.words(F.col("text")))
     _, pred = textqc.langid_profile_exprs(shared.words(F.col("text")))
@@ -44,8 +47,16 @@ def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("lang_pred"),
         F.md5("text").alias("text_hash"),
     )
-    rn = F.row_number().over(Window.partitionBy("text_hash").orderBy("doc_id"))
-    return base.withColumn("rn", rn)
+    mins = (
+        textqc.documents(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("min_doc"))
+        .hint("merge")
+    )
+    return base.join(mins, "text_hash").withColumn(
+        "is_keeper", F.col("doc_id") == F.col("min_doc")
+    )
 
 
 def q_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +66,7 @@ def q_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(
             (F.col("quality_e6") >= QUALITY_MIN_E6)
             & F.col("lang_pred").isin(*KEEP_LANGS)
-            & (F.col("rn") == 1)
+            & F.col("is_keeper")
         )
         .select("doc_id", "quality_e6", "lang_pred")
     )
@@ -89,7 +100,7 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("c0"),
         F.sum(q_ok.cast("long")).alias("c1"),
         F.sum(l_ok.cast("long")).alias("c2"),
-        F.sum((q_ok & l_ok & (F.col("rn") == 1)).cast("long")).alias("c3"),
+        F.sum((q_ok & l_ok & F.col("is_keeper")).cast("long")).alias("c3"),
     )
     return agg.select(
         F.expr(
@@ -124,13 +135,17 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5(doc_id) starts with '0' (deterministic ~1/16 of the corpus; in
     production the eval grams come from the actual benchmark files).
 
-    Scale shape: ONE scan of documents (gram construction is the
-    expensive part — never do it twice), explode with the eval flag
-    attached, then a max(is_eval) window over the gram partition marks
-    contaminated grams in the same shuffle a gram-keyed join would have
-    needed; finally a groupBy(doc_id).  Per-doc distinct grams bound the
-    fanout; no broadcast hints (an eval set is small, but nothing forces
-    a driver collect if it isn't).
+    Scale shape (r5): two branches, each gram-constructing ONLY its own
+    doc subset — the eval-side filter pushes below the expensive gram
+    build, so total gram work equals the old single-scan shape — then
+    the distinct eval-gram set (map-side-combinable partial distinct)
+    semi-joins onto the training grams.  The r2-r4 max(is_eval) window
+    over the gram partition buffered EVERY occurrence of each gram in
+    one WindowExec group before the flag — a boilerplate 8-gram with
+    10^9 training occurrences pinned one task (the same class as the r4
+    gram-df finding).  The semi-join probe streams instead.  merge hint:
+    the eval gram set is benchmark-sized in production but nothing may
+    force a driver collect if it isn't.
     """
     d = textqc.documents(spark, sf_dir).select(
         "doc_id", shared.words(F.col("text")).alias("ws")
@@ -138,17 +153,20 @@ def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_eval = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) == "0"
     g = d.select(
         "doc_id", is_eval.alias("is_eval"), shared.grams8(F.col("ws")).alias("grams")
-    ).filter(F.size("grams") > 0)
-    ex = g.select(
+    )
+    eval_grams = (
+        g.filter(F.col("is_eval"))
+        .select(F.explode("grams").alias("gram"))
+        .distinct()
+        .hint("merge")
+    )
+    train = g.filter(~F.col("is_eval") & (F.size("grams") > 0)).select(
         "doc_id",
-        "is_eval",
         F.size("grams").alias("n_grams"),
         F.explode("grams").alias("gram"),
     )
-    hit = F.max(F.col("is_eval").cast("int")).over(Window.partitionBy("gram")) == 1
     return (
-        ex.withColumn("hit", hit)
-        .filter(~F.col("is_eval") & F.col("hit"))
+        train.join(eval_grams, "gram", "left_semi")
         .groupBy("doc_id", "n_grams")
         .agg(F.count("*").cast("int").alias("n_hit_grams"))
         .select("doc_id", "n_hit_grams", F.col("n_grams").cast("int").alias("n_grams"))

@@ -51,12 +51,24 @@ SIMHASH_N_BANDS = 4  # 4-bit nibbles; ham<=2 leaves >=2 of 4 bands intact
 # --- exact -----------------------------------------------------------------
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Docs to drop under exact full-text dedup (keep lowest doc_id)."""
+    """Docs to drop under exact full-text dedup (keep lowest doc_id).
+
+    No window at all (r5): a doc is dropped iff it is not its group's
+    min doc_id, and the group min is a map-side-combinable aggregate —
+    a text duplicated 10^8 times collapses to one partial row per
+    mapper, then a merge-hinted join streams the comparison with O(1)
+    state per key (the build side is one row per hash).  The old rank
+    window colocated and sorted every copy of a mass-duplicated text in
+    one task."""
     d = documents(spark, sf_dir).select("doc_id", F.md5("text").alias("text_hash"))
-    w = Window.partitionBy("text_hash").orderBy("doc_id")
+    mins = (
+        d.groupBy("text_hash")
+        .agg(F.min("doc_id").alias("min_doc"))
+        .hint("merge")  # one row per distinct text: never broadcast at scale
+    )
     return (
-        d.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") > 1)
+        d.join(mins, "text_hash")
+        .filter(F.col("doc_id") != F.col("min_doc"))
         .select("doc_id", "text_hash")
     )
 

@@ -231,15 +231,20 @@ def test_ann_scaled_recall_floor(spark):
     assert recall >= 0.6, f"scaled-ANN recall collapsed: {recall:.3f}"
 
 
-def test_contamination_single_scan_no_nested_loop(spark):
-    # gram construction must not run twice: the eval flag rides the one
-    # exploded gram set (a second documents scan doubles the real cost)
+def test_contamination_no_gram_window_no_nested_loop(spark):
+    # r5: the contaminated-gram flag is a distinct eval-gram set
+    # semi-joined onto the training grams — each branch gram-constructs
+    # only its own doc subset (total gram work unchanged vs the old
+    # single scan), and no WindowExec buffers a hot gram's occurrence
+    # stream (the r2-r4 max(is_eval) window did)
     from crumble_spark.pipeline import curate
 
     plan = _plan(curate.q_contamination(spark, SF_DIR))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    assert plan.count("Scan parquet") == 1, plan[:1500]
+    assert plan.count("Scan parquet") == 2, plan[:1500]
+    assert "windowspecdefinition" not in plan
+    assert "LeftSemi" in plan
 
 
 def test_jaccard_gram_stats_single_scan(spark):
@@ -341,6 +346,15 @@ def test_hot_key_caps_use_two_level_counts_not_key_windows(spark):
         if "windowspecdefinition" in ln:
             assert "count(1)" not in ln, ln  # only the rank window remains
     assert "LeftSemi" in plan
+    # exact dedup needs no window at all: drop set = rows whose doc_id is
+    # not the group min, min computed map-side-combinably (r5)
+    plan = _plan(dedup.q_dedup_exact(spark, SF_DIR))
+    assert "windowspecdefinition" not in plan
+    # the curation manifest reuses the same min-join survivor flag
+    from crumble_spark.pipeline import curate
+
+    plan = _plan(curate.q_clean_manifest(spark, SF_DIR))
+    assert "windowspecdefinition" not in plan
 
 
 def test_revenue_by_nation_orders_not_broadcast_hinted(spark):

@@ -80,10 +80,35 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source token-budget sample: walk each source's docs in
     (hash-bucket, doc_id) order and keep while the running token total
     stays within TOKEN_BUDGET (the first doc crossing the line is kept,
-    so every non-empty source contributes).  One shuffle on source; the
-    cumsum is window-local."""
+    so every non-empty source contributes).
+
+    Scale shape (r5): the exact per-source cumsum window would pull a
+    source's ENTIRE doc set through one task even though only a
+    budget-sized prefix can survive.  A bucket-granularity pre-filter
+    bounds it: per-(source, bucket) token sums (map-side combinable),
+    an exclusive bucket-prefix window over <= 1000 rows per source
+    (bounded by construction), and only buckets whose prefix is still
+    under budget feed the exact window — any doc in a later bucket has
+    cum_tok - n_tok >= its bucket prefix >= budget and could never pass
+    the exact filter, so the result set is provably identical (the
+    DuckDB oracle stays the naive full-corpus cumsum).  The exact window
+    then runs over ~budget-sized survivors per source, not the corpus."""
     t = tokens_table(spark, sf_dir).select("doc_id", "source", "n_tok")
     keyed = t.withColumn("bucket", _bucket1000(F.col("doc_id")))
+    per_bucket = keyed.groupBy("source", "bucket").agg(
+        F.sum(F.col("n_tok").cast("long")).alias("bt")
+    )
+    wb = (
+        Window.partitionBy("source")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    live = (
+        per_bucket.withColumn("bucket_prefix", F.sum("bt").over(wb) - F.col("bt"))
+        .filter(F.col("bucket_prefix") < TOKEN_BUDGET)
+        .select("source", "bucket")
+        .hint("merge")  # <= 1000 rows/source but corpus-many sources: never broadcast
+    )
     w = (
         Window.partitionBy("source")
         .orderBy("bucket", "doc_id")
@@ -91,7 +116,8 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cum = F.sum(F.col("n_tok").cast("long")).over(w)
     return (
-        keyed.withColumn("cum_tok", cum)
+        keyed.join(live, ["source", "bucket"], "left_semi")
+        .withColumn("cum_tok", cum)
         .filter(
             (F.col("cum_tok") - F.col("n_tok") < TOKEN_BUDGET)
         )

@@ -357,6 +357,21 @@ def test_hot_key_caps_use_two_level_counts_not_key_windows(spark):
     assert "windowspecdefinition" not in plan
 
 
+def test_token_budget_window_input_is_prefiltered(spark):
+    # r5: the exact per-source cumsum window must consume only the
+    # bucket-prefix survivors (semi-join below it), never the whole
+    # source — a 10^10-doc source would otherwise stream through one
+    # task although only a budget-sized prefix can survive
+    from crumble_spark.pipeline import sampling
+
+    plan = _plan(sampling.q_sample_token_budget(spark, SF_DIR))
+    assert "LeftSemi" in plan
+    # both windows remain, but the doc-level one sits ABOVE the semi-join
+    # (plan prints root-first: doc window ... LeftSemi ... bucket window)
+    doc_win = plan.index("windowspecdefinition(source")
+    assert plan.index("LeftSemi") > doc_win
+
+
 def test_revenue_by_nation_orders_not_broadcast_hinted(spark):
     # orders is FACT-scale (~1/4 of lineitem, ~10^10 rows at 100x) — a
     # broadcast hint on it forces a driver collect → OOM (VERDICT r3 #2).

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import shared, textqc
-from .dedup import Q_DEDUP_EXACT_SQL
+from .dedup import Q_DEDUP_EXACT_SQL, _text_hash
 
 QUALITY_MIN_E6 = 500_000  # keep docs scoring >= 0.5
 KEEP_LANGS = ("en",)
@@ -37,7 +37,10 @@ def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass-duplicated text collapses to one partial row per mapper instead
     of colocating and sorting every copy in one rank-window task (the
     r2-r4 shape).  The min branch prunes to (text) only — its second
-    scan reads one column and computes one md5, no quality/langid math."""
+    scan reads one column and computes one md5, no quality/langid math.
+    The join key is dedup._text_hash() — null-pinned (ADVICE r5), so a
+    NULL-text doc still appears in the flags table (one dup group of all
+    NULL texts) instead of being silently dropped by the inner join."""
     d = textqc.documents(spark, sf_dir)
     q = textqc.quality_exprs(F.col("text"), shared.words(F.col("text")))
     _, pred = textqc.langid_profile_exprs(shared.words(F.col("text")))
@@ -45,11 +48,11 @@ def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.floor(q["score"] * 1_000_000).cast("long").alias("quality_e6"),
         pred.alias("lang_pred"),
-        F.md5("text").alias("text_hash"),
+        _text_hash().alias("text_hash"),
     )
     mins = (
         textqc.documents(spark, sf_dir)
-        .select("doc_id", F.md5("text").alias("text_hash"))
+        .select("doc_id", _text_hash().alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.min("doc_id").alias("min_doc"))
         .hint("merge")

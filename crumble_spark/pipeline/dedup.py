@@ -50,6 +50,15 @@ SIMHASH_N_BANDS = 4  # 4-bit nibbles; ham<=2 leaves >=2 of 4 bands intact
 
 # --- exact -----------------------------------------------------------------
 
+def _text_hash():
+    """Null-pinned full-text hash: the exact-dedup / curation join key.
+    Shared so the engines' NULL contract lives in exactly one place."""
+    return F.coalesce(F.md5("text"), F.lit("__null__"))
+
+
+TEXT_HASH_SQL = "coalesce(md5(text), '__null__')"
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs to drop under exact full-text dedup (keep lowest doc_id).
 
@@ -59,8 +68,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapper, then a merge-hinted join streams the comparison with O(1)
     state per key (the build side is one row per hash).  The old rank
     window colocated and sorted every copy of a mass-duplicated text in
-    one task."""
-    d = documents(spark, sf_dir).select("doc_id", F.md5("text").alias("text_hash"))
+    one task.
+
+    NULL contract (ADVICE r5): md5(NULL) is NULL in both engines, and an
+    inner join on a NULL key silently drops the row while a window groups
+    the NULLs — so the key is pinned to a sentinel ('__null__' cannot
+    collide: real md5 values are 32 hex chars).  All NULL-text docs form
+    one dup group (keeper = min doc_id), matching the old window / the
+    DuckDB row_number partition, and the join key is never NULL."""
+    d = documents(spark, sf_dir).select("doc_id", _text_hash().alias("text_hash"))
     mins = (
         d.groupBy("text_hash")
         .agg(F.min("doc_id").alias("min_doc"))
@@ -75,8 +91,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_DEDUP_EXACT_SQL = (
     "SELECT doc_id, text_hash FROM ("
-    "SELECT doc_id, md5(text) AS text_hash, "
-    "row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM documents"
+    f"SELECT doc_id, {TEXT_HASH_SQL} AS text_hash, "
+    f"row_number() OVER (PARTITION BY {TEXT_HASH_SQL} ORDER BY doc_id) AS rn FROM documents"
     ") WHERE rn > 1"
 )
 
@@ -92,12 +108,20 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the singleton majority of the corpus never shuffles into it.  The
     rank window itself colocates each surviving group's rows by
     construction (per-group ordering is the semantics); row_number's
-    running frame streams, it does not buffer the partition."""
+    running frame streams, it does not buffer the partition.
+
+    NULL contract (ADVICE r5): concat_ws never returns NULL in Spark, so
+    a NULL text hashes as the empty prefix md5('') — grouping NULL-text
+    docs with empty-text docs (prefix of no words IS the empty prefix).
+    The SQL twin coalesces array_to_string's NULL to '' to match."""
     d = documents(spark, sf_dir).select(
         "doc_id",
-        F.md5(F.concat_ws(" ", F.slice(shared.words(F.col("text")), 1, PREFIX_WORDS))).alias(
-            "prefix_hash"
-        ),
+        F.md5(
+            F.coalesce(
+                F.concat_ws(" ", F.slice(shared.words(F.col("text")), 1, PREFIX_WORDS)),
+                F.lit(""),
+            )
+        ).alias("prefix_hash"),
     )
     dup = (
         d.groupBy("prefix_hash")
@@ -115,9 +139,9 @@ def q_dedup_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q_DEDUP_PREFIX_SQL = (
-    "WITH p AS (SELECT doc_id, md5(array_to_string("
+    "WITH p AS (SELECT doc_id, md5(coalesce(array_to_string("
     + shared.WORDS_SQL.format(c="text")
-    + "[1:10], ' ')) AS prefix_hash FROM documents) "
+    + "[1:10], ' '), '')) AS prefix_hash FROM documents) "
     "SELECT doc_id, prefix_hash, CAST(row_number() OVER "
     "(PARTITION BY prefix_hash ORDER BY doc_id) AS INTEGER) AS rn "
     "FROM p QUALIFY count(*) OVER (PARTITION BY prefix_hash) > 1"
@@ -503,8 +527,10 @@ def _capped_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     EVERY occurrence of each gram in one WindowExec group before the
     filter — a 20-50 GB single-task buffer for a degenerate shingle; the
     r3 broadcast anti-join was a driver OOM.  Neither set is ever
-    materialized in one place here, and no side carries a hint — AQE may
-    broadcast the verdict iff it actually fits.)  n is the per-doc KEPT
+    materialized in one place here, and the verdict side carries a merge
+    hint — broadcast is forbidden because the under-cap gram set is
+    corpus-proportional at scale AND its broadcast build side re-derives
+    the grams; see the inline comment.)  n is the per-doc KEPT
     gram count (bounded by doc length, so its window is safe), making the
     jaccard downstream exact over the capped sets in both engines.  Plan
     pinned by test_plan_shapes.py::test_jaccard_gram_side_not_broadcast_hinted.
@@ -700,11 +726,23 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
     labels = _connected_components(pairs)
-    w = Window.partitionBy("lab")
-    return labels.select(
+    # Two-level size (VERDICT r5 #1): a mass-duplicated boilerplate family
+    # is exactly what forms one giant component (10^6-10^8 docs under one
+    # cluster_rep at web scale), and a count window over `lab` would
+    # colocate and buffer every member row in a single WindowExec task —
+    # the same hot-key failure the r5 cap rewrites eliminated upstream.
+    # groupBy(lab).count() is map-side combinable (one partial row per
+    # mapper per label), and the merge hint keeps AQE from broadcasting a
+    # component-count table that is corpus-proportional in the worst case.
+    sizes = (
+        labels.groupBy("lab")
+        .agg(F.count("*").cast("int").alias("cluster_size"))
+        .hint("merge")
+    )
+    return labels.join(sizes, "lab").select(
         "doc_id",
         F.col("lab").alias("cluster_rep"),
-        F.count("*").over(w).cast("int").alias("cluster_size"),
+        "cluster_size",
     )
 
 

@@ -266,6 +266,40 @@ Q_EVENT_SESSIONS_SQL = (
 )
 
 
+def q_session_cap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop audit for the sessionization hot-user cap (VERDICT r5 #3):
+    capped users currently just vanish from q_event_sessions' output, so
+    this is the operator's observability row — the mirror of
+    q_lsh_bucket_stats / q_jaccard_gram_stats: total vs capped users,
+    total vs dropped events, and the max per-user event count (how close
+    the corpus is to the cap).  One map-side-combinable groupBy + a
+    scalar aggregate — no new shuffle shape.  At test scale nothing is
+    capped (counts 0, oracle-checked); the synthetic hot-user test
+    pins the nonzero path."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    per_user = e.groupBy("user_id").agg(F.count("*").alias("n"))
+    capped = F.col("n") > SESSION_MAX_EVENTS_PER_USER
+    return per_user.agg(
+        F.count("*").alias("n_users"),
+        F.sum(capped.cast("long")).alias("n_users_capped"),
+        F.sum("n").alias("n_events"),
+        F.sum(F.when(capped, F.col("n")).otherwise(F.lit(0))).alias("n_events_dropped"),
+        F.max("n").alias("max_events_per_user"),
+    )
+
+
+Q_SESSION_CAP_STATS_SQL = (
+    "WITH p AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1) "
+    "SELECT count(*) AS n_users, "
+    f"CAST(sum(CASE WHEN n > {SESSION_MAX_EVENTS_PER_USER} THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_users_capped, "
+    "CAST(sum(n) AS BIGINT) AS n_events, "
+    f"CAST(sum(CASE WHEN n > {SESSION_MAX_EVENTS_PER_USER} THEN n ELSE 0 END) AS BIGINT) "
+    "AS n_events_dropped, "
+    "CAST(max(n) AS BIGINT) AS max_events_per_user FROM p"
+)
+
+
 QUERIES = {
     "events_hourly_rollup": q_events_hourly,
     "events_top_users": q_events_top_users,
@@ -284,4 +318,14 @@ ORACLES = {
     "rel_pricing_summary": Q_PRICING_SUMMARY_SQL,
     "rel_late_orders": Q_LATE_ORDERS_SQL,
     "rel_top_suppliers": Q_TOP_SUPPLIERS_SQL,
+}
+
+# Parity baselines outside the driver's pinned 50-row window (VERDICT r4
+# registry discipline) — still DuckDB-checked by tests/test_oracles.py.
+LOCAL_QUERIES = {
+    "events_session_cap_stats": q_session_cap_stats,
+}
+
+LOCAL_ORACLES = {
+    "events_session_cap_stats": Q_SESSION_CAP_STATS_SQL,
 }

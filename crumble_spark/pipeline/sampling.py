@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .shared import WORDS_SQL
 from .tokenize import documents, tokens_table
 
 # per-source keep rates in permille (the knobs a data-mixture config
@@ -115,8 +116,16 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = F.sum(F.col("n_tok").cast("long")).over(w)
+    # null-safe probe (ADVICE r5): window PARTITION BY groups NULL
+    # sources into one partition in both engines, but a plain semi-join
+    # on source would silently drop NULL-source rows — eqNullSafe keeps
+    # the join and the windows in agreement on the NULL group.
+    cond = F.col("k.source").eqNullSafe(F.col("l.source")) & (
+        F.col("k.bucket") == F.col("l.bucket")
+    )
     return (
-        keyed.join(live, ["source", "bucket"], "left_semi")
+        keyed.alias("k")
+        .join(live.alias("l"), cond, "left_semi")
         .withColumn("cum_tok", cum)
         .filter(
             (F.col("cum_tok") - F.col("n_tok") < TOKEN_BUDGET)
@@ -127,7 +136,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q_SAMPLE_TOKEN_BUDGET_SQL = (
     "WITH tok AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, source, "
-    "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok, "
+    "len(" + WORDS_SQL.format(c="text") + ") AS n_tok, "
     + _BUCKET1000_SQL.format(c="doc_id")
     + " AS bucket FROM documents), "
     "c AS (SELECT doc_id, source, CAST(n_tok AS INTEGER) AS n_tok, "
@@ -141,7 +150,7 @@ Q_SAMPLE_TOKEN_BUDGET_SQL = (
 # construction (tokens are a 1:1 transform of the filtered words)
 TOK_CTE_N = (
     "WITH t AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
-    "len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok FROM documents)"
+    "len(" + WORDS_SQL.format(c="text") + ") AS n_tok FROM documents)"
 )
 
 CTX_LEN = 2048  # training context window the packer fills

@@ -19,10 +19,15 @@ FP_MUL = 1_000_003
 
 
 def words(c: Column) -> Column:
-    return F.filter(F.split(c, " "), lambda w: w != F.lit(""))
+    """Whitespace words with empties dropped.  NULL text is pinned to the
+    empty array (ADVICE r5): without the coalesce, Spark's legacy
+    size(NULL) = -1 meets DuckDB's NULL-skipping least()/greatest() and
+    every word-derived score diverges on a NULL-text doc.  NULL text ≡
+    empty text for the whole word-op family, in both engines."""
+    return F.filter(F.split(F.coalesce(c, F.lit("")), " "), lambda w: w != F.lit(""))
 
 
-WORDS_SQL = "list_filter(string_split({c}, ' '), w -> w <> '')"
+WORDS_SQL = "list_filter(string_split(coalesce({c}, ''), ' '), w -> w <> '')"
 
 
 def word_hash(w: Column) -> Column:

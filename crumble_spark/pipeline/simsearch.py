@@ -52,6 +52,13 @@ def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: broadcast(queries) × scan(corpus) — one pass over the big
     side, no shuffle of the corpus; the window top-k shuffles only
     (q_id, candidate) rows.
+
+    BOUNDARY (VERDICT r5 #6): this is the O(N·Q) recall oracle the
+    scaled/IVF paths are measured against, never the deploy path.  The
+    per-q_id top-k window intentionally drags all N candidate rows of a
+    query through one task — acceptable at harness scale only.  Do not
+    "fix" it: the scale paths are q_ann_scaled_topk / q_ann_ivf_topk,
+    and their recall floors are pinned against exactly this output.
     """
     e = _embeddings(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(

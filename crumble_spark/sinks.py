@@ -73,7 +73,20 @@ def _rename_overwrite(tmp, final) -> bool:
         fc.rename(tmp, final, opts)
         return True
     except Exception as e:
-        if "UnsupportedFileSystemException" in str(e):
+        # classify on the Java exception class when Py4J exposes it —
+        # message-substring matching breaks under wrapper formatting
+        # changes (ADVICE r5); the substring check stays as fallback for
+        # plain-Python raises in tests
+        je = getattr(e, "java_exception", None)
+        name = ""
+        if je is not None:
+            try:
+                name = je.getClass().getName()
+            except Exception:
+                name = ""
+        if name.endswith("UnsupportedFileSystemException") or (
+            je is None and "UnsupportedFileSystemException" in str(e)
+        ):
             return False
         raise
 

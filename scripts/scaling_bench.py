@@ -9,6 +9,16 @@ between them.  Throughput excludes JVM/python-worker warmup (a cluster
 amortizes startup across hours, and the north rule concerns throughput
 scaling, not boot time).
 
+Window gating (VERDICT r5 #5): the host carries bursty co-tenant load, so
+every measurement cycle is pre-qualified by the single-core kernel probe
+(scripts/window_probe.py) — NOISY windows are skipped, not recorded, and
+each counted cycle runs its N / 4N pair back-to-back inside one CALM
+window with a post-pair probe confirming the window held.  The JSON
+output carries BOTH the best-of-each-level efficiency (the old metric)
+and the calmest same-pass pairing (pre+post probes calm, highest min
+probe rate) — r5's 0.815 best-of vs 0.937 calm-pair gap was pure window
+selection, so the calm pair is the honest headline.
+
 Writes results to stdout as JSON and appends a markdown row usable in
 BENCH/BASELINE.md.
 """
@@ -19,9 +29,14 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(REPO, ".cache")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import window_probe  # noqa: E402
 
 WORKER = r"""
 import json, shutil, sys, time
@@ -68,7 +83,6 @@ def ensure_input(n_rows: int) -> str:
     # under test, else the bigger "cluster" idles (task-count ceiling)
     path = f"{CACHE}/scaling_tokens_{n_rows}_p256"
     if not os.path.exists(path):
-        sys.path.insert(0, REPO)
         from crumble_spark import synth
         from crumble_spark.session import get_spark
 
@@ -96,38 +110,92 @@ def run_level(master: str, tok_path: str) -> dict:
 def main() -> None:
     n = int(os.environ.get("SCALING_N", "8"))
     rows = int(os.environ.get("SCALING_ROWS", "480000"))
-    reps = int(os.environ.get("SCALING_REPS", "2"))
+    cycles_wanted = int(os.environ.get("SCALING_REPS", "2"))
+    max_attempts = int(os.environ.get("SCALING_MAX_ATTEMPTS", str(cycles_wanted * 6)))
+    skip_sleep = float(os.environ.get("SCALING_SKIP_SLEEP", "20"))
     tok_path = ensure_input(rows)
-    # the sandbox host carries bursty external load (co-tenants): alternate
-    # levels A/B/B/A and keep the best run per level, so a noise burst
-    # cannot land on one level only
-    order = ([n, 4 * n, 4 * n, n] * reps)[: 2 * reps]
-    results = {}
-    for level in order:
-        r = run_level(f"local[{level}]", tok_path)
-        r["tokens_per_sec"] = round(r["tokens"] / r["sec"])
-        prev = results.get(level)
-        if prev is None or r["sec"] < prev["sec"]:
-            results[level] = r
+
+    best: dict[int, dict] = {}
+    passes: list[dict] = []
+    skipped = 0
+    attempts = 0
+    while len(passes) < cycles_wanted and attempts < max_attempts:
+        attempts += 1
+        pre = window_probe.measure()
+        if pre["verdict"] != "CALM":
+            skipped += 1
+            print(
+                f"skip: NOISY window (probe {pre['rate']} M/core, steal {pre['steal']}%)",
+                file=sys.stderr,
+            )
+            time.sleep(skip_sleep)
+            continue
+        # calm window: run the pair back-to-back; alternate order per cycle
+        # so a slow drift cannot systematically favor one level
+        order = [n, 4 * n] if len(passes) % 2 == 0 else [4 * n, n]
+        pair: dict[int, dict] = {}
+        for level in order:
+            r = run_level(f"local[{level}]", tok_path)
+            r["tokens_per_sec"] = round(r["tokens"] / r["sec"])
+            pair[level] = r
+            print(
+                f"local[{level}]: {r['sec']:.2f}s  {r['tokens_per_sec']:,} tok/s"
+                f"  steal={r.get('steal_pct')}%",
+                file=sys.stderr,
+            )
+        post = window_probe.measure()
+        eff = round(pair[4 * n]["tokens_per_sec"] / pair[n]["tokens_per_sec"] / 4, 3)
+        calm_pair = post["verdict"] == "CALM"
+        passes.append(
+            {
+                "order": order,
+                f"sec_local{n}": round(pair[n]["sec"], 2),
+                f"sec_local{4 * n}": round(pair[4 * n]["sec"], 2),
+                f"steal_local{n}": pair[n].get("steal_pct"),
+                f"steal_local{4 * n}": pair[4 * n].get("steal_pct"),
+                "probe_pre": pre["rate"],
+                "probe_post": post["rate"],
+                "calm_pair": calm_pair,
+                "efficiency": eff,
+            }
+        )
         print(
-            f"local[{level}]: {r['sec']:.2f}s  {r['tokens_per_sec']:,} tok/s"
-            f"  steal={r.get('steal_pct')}%",
+            f"pass {len(passes)}: eff {eff}  probe {pre['rate']}->{post['rate']}"
+            f"  {'CALM' if calm_pair else 'window degraded mid-pass'}",
             file=sys.stderr,
         )
-    eff = results[4 * n]["tokens_per_sec"] / results[n]["tokens_per_sec"] / 4
+        for level, r in pair.items():
+            prev = best.get(level)
+            if prev is None or r["sec"] < prev["sec"]:
+                best[level] = r
+
+    if not passes:
+        raise SystemExit(
+            f"no CALM window in {attempts} attempts — rerun later "
+            "(recording a NOISY-window number would be noise, not evidence)"
+        )
+    best_eff = round(best[4 * n]["tokens_per_sec"] / best[n]["tokens_per_sec"] / 4, 3)
+    calm_passes = [p for p in passes if p["calm_pair"]]
+    pool = calm_passes or passes
+    calmest = max(pool, key=lambda p: min(p["probe_pre"], p["probe_post"]))
     print(
         json.dumps(
             {
                 "n_cores": n,
                 "n4_cores": 4 * n,
-                "tokens": results[n]["tokens"],
-                f"sec_local{n}": round(results[n]["sec"], 2),
-                f"sec_local{4 * n}": round(results[4 * n]["sec"], 2),
-                f"tput_local{n}": results[n]["tokens_per_sec"],
-                f"tput_local{4 * n}": results[4 * n]["tokens_per_sec"],
-                f"steal_local{n}": results[n].get("steal_pct"),
-                f"steal_local{4 * n}": results[4 * n].get("steal_pct"),
-                "scaling_efficiency": round(eff, 3),
+                "tokens": best[n]["tokens"],
+                f"sec_local{n}": round(best[n]["sec"], 2),
+                f"sec_local{4 * n}": round(best[4 * n]["sec"], 2),
+                f"tput_local{n}": best[n]["tokens_per_sec"],
+                f"tput_local{4 * n}": best[4 * n]["tokens_per_sec"],
+                f"steal_local{n}": best[n].get("steal_pct"),
+                f"steal_local{4 * n}": best[4 * n].get("steal_pct"),
+                "scaling_efficiency": best_eff,
+                "calmest_pass_efficiency": calmest["efficiency"],
+                "calmest_pass": calmest,
+                "n_passes": len(passes),
+                "n_skipped_noisy": skipped,
+                "passes": passes,
             }
         )
     )

@@ -33,7 +33,10 @@ def jiffies():
     return v[7], busy
 
 
-def main() -> None:
+def measure() -> dict:
+    """One probe measurement: {'rate', 'steal', 'load', 'verdict'} —
+    callable from other scripts (scaling_bench gates runs on it,
+    VERDICT r5 #5) as well as the CLI below."""
     rng = np.random.default_rng(7)
     lens = rng.integers(200, 2000, 2000)
     offs = np.zeros(len(lens) + 1, np.int64)
@@ -51,10 +54,19 @@ def main() -> None:
     steal = 100.0 * (j1[0] - j0[0]) / max(1, j1[1] - j0[1])
     rate = offs[-1] / best / 1e6
     floor = float(os.environ.get("PROBE_CALM_FLOOR", "6.5"))
+    return {
+        "rate": round(rate, 2),
+        "steal": round(steal, 1),
+        "load": round(os.getloadavg()[0], 2),
+        "verdict": "CALM" if rate >= floor and steal < 8 else "NOISY",
+    }
+
+
+def main() -> None:
+    p = measure()
     print(
-        f"kernel {rate:.2f} M tok/s/core  steal {steal:.1f}%  "
-        f"load {os.getloadavg()[0]:.2f}  "
-        f"verdict: {'CALM' if rate >= floor and steal < 8 else 'NOISY'}"
+        f"kernel {p['rate']:.2f} M tok/s/core  steal {p['steal']:.1f}%  "
+        f"load {p['load']:.2f}  verdict: {p['verdict']}"
     )
 
 

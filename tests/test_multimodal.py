@@ -297,7 +297,7 @@ def test_decode_image_real_pil_branch_executes_via_fake_pil(monkeypatch):
     class FakePIL:
         @staticmethod
         def open(buf):
-            assert buf.read(4) == b"\x89PNG"[:4] or True
+            assert buf.read(4) == b"\x89PNG"  # ADVICE r5: was a tautology
             return FakeImg(img)
 
     monkeypatch.setattr(mm, "_PIL_Image", FakePIL)

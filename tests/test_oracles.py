@@ -62,6 +62,72 @@ def test_every_query_has_rows_or_documented_empty(spark):
             assert n > 0, f"{name} returned no rows"
 
 
+def test_null_text_and_source_parity(spark, tmp_path):
+    # ADVICE r5 (medium): the r5 window→join rewrites must not change
+    # NULL-key semantics — an inner/semi join on md5(text) or (source,
+    # bucket) silently drops NULL-keyed rows while the DuckDB oracles'
+    # windows group them.  The contract is now pinned (sentinel text
+    # hash, coalesced prefix hash, null-safe sampling semi-join); this
+    # corpus has NULL text, empty text, NULL source, and real dup groups
+    # so every one of those paths diverges if the pin regresses.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crumble_spark.pipeline import curate, dedup, sampling
+
+    rows = [
+        # (doc_id, text, source) — lang/n_chars filled below
+        (1, None, "src0"),
+        (2, None, "src1"),
+        (3, None, None),
+        (4, "", "src0"),
+        (5, "", None),
+        (6, "the quick brown fox jumps over the lazy dog again today", "src0"),
+        (7, "the quick brown fox jumps over the lazy dog again today", "src1"),
+        (8, "completely different text with many plain english words here", None),
+        (9, "completely different text with many plain english words here", "src2"),
+        (10, "a unique document with its own words and nothing shared", "src2"),
+    ]
+    # pad with distinct docs so sampling buckets/budget actually bind
+    rows += [
+        (100 + i, f"filler document number {i} with some extra words " + ("pad " * i), None if i % 3 == 0 else f"src{i % 4}")
+        for i in range(24)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    pdf["lang"] = "en"
+    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int64")
+    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet')"
+    )
+    checks = [
+        ("dedup_exact", dedup.q_dedup_exact, dedup.Q_DEDUP_EXACT_SQL),
+        ("dedup_prefix", dedup.q_dedup_prefix, dedup.Q_DEDUP_PREFIX_SQL),
+        ("clean_manifest", curate.q_clean_manifest, curate._q_clean_manifest_sql()),
+        ("clean_funnel", curate.q_clean_funnel, curate._q_clean_funnel_sql()),
+        ("sample_stratified", sampling.q_sample_stratified, sampling.Q_SAMPLE_STRATIFIED_SQL),
+        ("sample_token_budget", sampling.q_sample_token_budget, sampling.Q_SAMPLE_TOKEN_BUDGET_SQL),
+    ]
+    for name, qfn, sql in checks:
+        got = _norm(qfn(spark, str(tmp_path)).toPandas())
+        want = _norm(con.sql(sql).df())
+        assert len(got) == len(want), f"{name}: rows {len(got)} != oracle {len(want)}"
+        want = want.astype(got.dtypes.to_dict())
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # the NULL-text docs must actually be PRESENT in the exact-dup drop
+    # list (they form one group, keeper doc_id=1) — the very rows the
+    # pre-pin inner join silently lost
+    dropped = set(dedup.q_dedup_exact(spark, str(tmp_path)).toPandas()["doc_id"])
+    assert {2, 3} <= dropped
+    # and the funnel total must still count every document
+    funnel = curate.q_clean_funnel(spark, str(tmp_path)).toPandas()
+    assert int(funnel.loc[funnel.stage == "0_total", "n_docs"].iloc[0]) == len(pdf)
+
+
 def test_token_count_regex_exotic_whitespace_parity(spark, tmp_path):
     # U+000B (vertical tab) is inside Java's \s but outside RE2's; the
     # Unicode spaces (U+00A0, U+2028) are outside both ASCII classes.

@@ -150,6 +150,11 @@ def test_sessions_hot_user_dropped_and_bounded(spark, tmp_path, monkeypatch):
     assert "bot" not in out, "above-cap user must be dropped (observable)"
     # gaps are 1 h > 30 min: every human event is its own session
     assert out["human"]["n_sessions"] == 5 and out["human"]["max_session_events"] == 1
+    # the drop audit reports the capped user + its events (VERDICT r5 #3)
+    audit = relational.q_session_cap_stats(spark, str(tmp_path)).collect()[0]
+    assert audit["n_users"] == 2 and audit["n_users_capped"] == 1
+    assert audit["n_events"] == 305 and audit["n_events_dropped"] == 300
+    assert audit["max_events_per_user"] == 300
     # the cap must come from an aggregate verdict, not a per-user count window
     plan = _plan(relational.q_event_sessions(spark, str(tmp_path)))
     for ln in plan.splitlines():
@@ -355,6 +360,35 @@ def test_hot_key_caps_use_two_level_counts_not_key_windows(spark):
 
     plan = _plan(curate.q_clean_manifest(spark, SF_DIR))
     assert "windowspecdefinition" not in plan
+    # r6 (VERDICT r5 #1): cluster_size is a two-level groupBy(lab).count()
+    # + merge join — a count window over the component label would buffer
+    # a giant boilerplate component (the pipeline's most likely degenerate
+    # key) in one WindowExec task.  Upstream is checkpointed label rows +
+    # the simhash pair join, so the whole plan must be window-free.
+    plan = _plan(dedup.q_dedup_clusters(spark, SF_DIR))
+    assert "windowspecdefinition" not in plan
+
+
+def test_clusters_degenerate_component_converges(spark):
+    # VERDICT r5 #2: one component containing ~all nodes — an
+    # adversarially chained graph (path of n nodes) plus a star — must
+    # converge in O(log n) pointer-jump rounds, and the per-round label
+    # join must stream (1 build row per key; AQE skew-split handles the
+    # giant component's probe side — the join key `lab` funnels every
+    # member of the component to one key, but the build side is a single
+    # (lab, lab2) row so the join state is O(1) per key, never a buffer).
+    from crumble_spark.pipeline.dedup import _connected_components
+
+    n = 256  # path 0-1-2-...-255: diameter 255, worst case for propagation
+    path = [(i, i + 1) for i in range(n - 1)]
+    star = [(500, 500 + i) for i in range(1, 64)]  # giant star, same graph
+    pairs = spark.createDataFrame(path + star, "doc_a long, doc_b long")
+    stats: dict = {}
+    labels = {r["doc_id"]: r["lab"] for r in _connected_components(pairs, stats=stats).collect()}
+    assert all(labels[i] == 0 for i in range(n))
+    assert all(labels[500 + i] == 500 for i in range(64))
+    # pointer jumping halves remaining distance per round: log2(255) ≈ 8
+    assert stats["n_rounds"] <= 12, stats
 
 
 def test_token_budget_window_input_is_prefiltered(spark):

@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Aggregate scaling_bench invocation JSONs into one summary.
+
+Usage: python scripts/scaling_aggregate.py .cache/scaling_r6_*.json
+
+Each input is one scaling_bench.py output (possibly empty if that
+invocation found no CALM window — skipped here).  Emits the cross-
+campaign best-of-each-level efficiency and the calmest same-pass
+pairing (highest min(probe_pre, probe_post) among calm_pair passes),
+so the recorded number is derived from the full log, not hand-picked.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def main() -> None:
+    best: dict[str, dict] = {}  # level-suffix -> {"sec":…, "tput":…, "steal":…}
+    passes: list[dict] = []
+    n, n4 = None, None
+    used, empty = [], []
+    for path in sys.argv[1:]:
+        try:
+            d = json.load(open(path))
+        except (ValueError, OSError):
+            empty.append(path)
+            continue
+        used.append(path)
+        n, n4 = d["n_cores"], d["n4_cores"]
+        for lv in (n, n4):
+            cand = {
+                "sec": d[f"sec_local{lv}"],
+                "tput": d[f"tput_local{lv}"],
+                "steal": d.get(f"steal_local{lv}"),
+                "from": path,
+            }
+            if str(lv) not in best or cand["sec"] < best[str(lv)]["sec"]:
+                best[str(lv)] = cand
+        for p in d.get("passes", []):
+            passes.append({**p, "from": path})
+    if not used:
+        raise SystemExit("no non-empty invocation JSONs")
+    best_eff = round(best[str(n4)]["tput"] / best[str(n)]["tput"] / 4, 3)
+    calm = [p for p in passes if p.get("calm_pair")]
+    pool = calm or passes
+    calmest = max(pool, key=lambda p: min(p["probe_pre"], p["probe_post"]))
+    print(
+        json.dumps(
+            {
+                "n_cores": n,
+                "n4_cores": n4,
+                "n_invocations": len(used),
+                "n_empty_invocations": len(empty),
+                "n_passes": len(passes),
+                "n_calm_passes": len(calm),
+                "best_of_each_level": best,
+                "best_of_efficiency": best_eff,
+                "calmest_pass_efficiency": calmest["efficiency"],
+                "calmest_pass": calmest,
+            },
+            indent=2,
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -46,6 +46,12 @@ def main() -> None:
     calm = [p for p in passes if p.get("calm_pair")]
     pool = calm or passes
     calmest = max(pool, key=lambda p: min(p["probe_pre"], p["probe_post"]))
+    # The single-core probe cannot see 8-core bandwidth pressure (CLAUDE.md:
+    # it's a window-quality gate, not a linear corrector), so the max-min-
+    # probe pass can still carry a squeezed 4N side.  Also report the best
+    # efficiency among passes whose window verifiably held (calm_pair) —
+    # with the full pass log attached, neither number is hand-picked.
+    best_calm = max(pool, key=lambda p: p["efficiency"])
     print(
         json.dumps(
             {
@@ -59,6 +65,8 @@ def main() -> None:
                 "best_of_efficiency": best_eff,
                 "calmest_pass_efficiency": calmest["efficiency"],
                 "calmest_pass": calmest,
+                "best_calm_pair_efficiency": best_calm["efficiency"],
+                "best_calm_pair": best_calm,
             },
             indent=2,
         )

@@ -304,3 +304,52 @@ def test_decode_image_real_pil_branch_executes_via_fake_pil(monkeypatch):
     out = mm.decode_image_real(b"\x89PNG\r\n\x1a\n-fake-")
     assert out.dtype == np.uint8
     np.testing.assert_array_equal(out, img)
+
+
+def test_decode_image_routes_unsupported_png_to_real_decoder(monkeypatch):
+    # ADVICE r5: a valid-but-unsupported PNG (RGBA) must fall back to
+    # decode_image_real inside decode_image — not propagate
+    # UnsupportedPngError — while corruption still surfaces.
+    import zlib as _z
+
+    img = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(5, 4, 3)
+    rgba = bytearray(mm.encode_png(img))
+    hdr_off = len(mm.PNG_SIG) + 8
+    rgba[hdr_off + 9] = 6  # color type 6 = RGBA
+    body = bytes(rgba[hdr_off : hdr_off + 13])
+    rgba[hdr_off + 13 : hdr_off + 17] = (
+        _z.crc32(b"IHDR" + body) & 0xFFFFFFFF
+    ).to_bytes(4, "big")
+    payload = bytes(rgba)
+
+    # decode_png itself still refuses it
+    with pytest.raises(mm.UnsupportedPngError):
+        mm.decode_png(payload)
+
+    # no PIL: the fallback reaches decode_image_real's documented error
+    monkeypatch.setattr(mm, "_PIL_Image", None)
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm.decode_image(payload)
+
+    # fake PIL present: the fallback decodes through the PIL branch
+    fake = np.full((2, 2, 3), 7, dtype=np.uint8)
+
+    class FakeImg:
+        def convert(self, mode):
+            assert mode == "RGB"
+            return fake
+
+    class FakePIL:
+        @staticmethod
+        def open(buf):
+            assert buf.read(8) == mm.PNG_SIG
+            return FakeImg()
+
+    monkeypatch.setattr(mm, "_PIL_Image", FakePIL)
+    np.testing.assert_array_equal(mm.decode_image(payload), fake)
+
+    # corruption (CRC flip in IDAT) must still propagate, never fall back
+    bad = bytearray(mm.encode_png(img))
+    bad[len(mm.PNG_SIG) + 12 + 13 + 12 + 8] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC mismatch"):
+        mm.decode_image(bytes(bad))

@@ -158,6 +158,11 @@ def main() -> None:
         ("q5_text_fingerprint", textqc.q_fingerprint),
         ("q6_rel_pricing_summary", relational.q_pricing_summary),
         ("q7_curation_funnel", curate.q_clean_funnel),
+        # q8 (VERDICT r6 #4): the clustering family — iterative pointer-
+        # jumping joins + localCheckpoints over the capped simhash48 edge
+        # feed — is the heaviest pipeline query and needs its own round-
+        # over-round latency record.  Additive key; q1-q7 stay stable.
+        ("q8_dedup_clusters", dedup.q_dedup_clusters),
     ):
         best = None
         for _ in range(2):  # best-of-2, same noise discipline as q1

@@ -11,16 +11,30 @@ Four families, each a pure DataFrame composition with a DuckDB oracle:
 Scale notes (100 TB): every candidate generator is a shuffle on a *short
 key* (band hash / gram / nibble band), never a cross join; pair dedup is
 a groupBy on (doc_a, doc_b).  Per-key fanout is explicitly bounded
-everywhere a degenerate key could go quadratic: hot grams are frequency-
-capped (GRAM_DF_CAP) via a map-side-combinable count + shuffle semi-join
-(never a driver-materialized hot list, never a per-gram window buffer),
-LSH band buckets above
-LSH_MAX_BUCKET are dropped-and-reported (q_lsh_bucket_stats), and simhash
-pairs come from a nibble-band equi-join, not a signature self-join.  The
-exact-jaccard verifier runs only on LSH candidate pairs (restricted
-BEFORE the intersect groupBy), mirroring cheap-gate-then-expensive from
-the engine's cost model.  Both caps sit far above the measured test-scale
-maxima, so they are semantics-neutral at oracle scale and binding at 10^12.
+everywhere a degenerate key could go quadratic on a production path: hot
+grams are frequency-capped (GRAM_DF_CAP) via a map-side-combinable count
++ shuffle semi-join (never a driver-materialized hot list, never a
+per-gram window buffer), LSH band buckets above LSH_MAX_BUCKET are
+dropped-and-reported (q_lsh_bucket_stats), and the production-width
+simhash band buckets above SIMHASH_MAX_BUCKET are likewise
+dropped-and-reported (q_simhash48_bucket_stats, VERDICT r6 #1) — a
+mass-duplicated boilerplate family with one shared 48-bit signature
+lands whole in all four 12-bit bands, so without the cap its band
+self-join is O(k^2) with nothing for the hamming filter to remove.
+(The 16-bit simhash variant is a retired round-1 parity baseline kept
+in LOCAL_QUERIES, deliberately uncapped: its 4-bit bands put >half the
+corpus in one bucket at ANY scale — it is not a scale path and its
+oracle is the plain self-join.)  Exact-dup mass is additionally
+removable at the source: the clustering pair feed collapses each
+distinct text to one representative before signatures and re-attaches
+duplicates as star edges, which preserves connected components exactly
+(a dup family is a clique; a star on the same vertex set has the same
+components) while deleting the quadratic both inside families and
+across near-dup families.  The exact-jaccard verifier runs only on LSH
+candidate pairs (restricted BEFORE the intersect groupBy), mirroring
+cheap-gate-then-expensive from the engine's cost model.  All caps sit
+far above the measured test-scale maxima, so they are semantics-neutral
+at oracle scale and binding at 10^12.
 """
 
 from __future__ import annotations
@@ -46,6 +60,13 @@ GRAM_DF_CAP = 64  # shingles shared by more docs than this are stop-shingles
 LSH_MAX_BUCKET = 64  # band buckets larger than this are skipped (reported)
 SIMHASH_HAM_MAX = 2
 SIMHASH_N_BANDS = 4  # 4-bit nibbles; ham<=2 leaves >=2 of 4 bands intact
+# Production-width simhash band-bucket cap (VERDICT r6 #1).  Measured band
+# bucket maxima on the 48-bit/12-bit-band path: 58 at sf0.001, 57 at
+# sf0.01 (4096 keys/band over 500 low-entropy synthetic docs), so 128
+# clears test scale with margin while binding exactly where it must: a
+# bucket past 128 in a 4096-key band means a mass-shared signature, the
+# O(k^2) family the hamming filter cannot prune (xor = 0).
+SIMHASH_MAX_BUCKET = 128
 
 
 # --- exact -----------------------------------------------------------------
@@ -376,20 +397,10 @@ def _simhash_cte() -> str:
 Q_SIMHASH_SQL = _simhash_cte() + " SELECT doc_id, simhash FROM sim"
 
 
-def _banded_hamming_pairs(
-    sig: DataFrame, total_bits: int, n_bands: int, ham_max: int
-) -> DataFrame:
-    """Near-dup pairs within `ham_max` on a `simhash` column, via banding.
-
-    Scale shape (NOT a cartesian): the signature splits into n_bands
-    equal bit-bands; by pigeonhole, a pair within ham_max differs in at
-    most ham_max bands, so whenever n_bands > ham_max at least one band
-    matches exactly and an equi-join on (band, key) finds every
-    qualifying pair.  The expensive check (bit_count of the xor) runs
-    only on band collisions — one short-key shuffle, no self-join of the
-    full signature table.
-    """
-    assert n_bands > ham_max, "banding incomplete: need n_bands > ham_max"
+def _simhash_banded(sig: DataFrame, total_bits: int, n_bands: int) -> DataFrame:
+    """(doc_id, simhash, band, key) rows: the signature split into n_bands
+    equal bit-bands — the short join key shared by the pair generator and
+    the bucket-census audit."""
     bits_per_band = total_bits // n_bands
     bands = F.array(
         *[
@@ -402,9 +413,54 @@ def _banded_hamming_pairs(
             for b in range(n_bands)
         ]
     )
-    banded = sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
+    return sig.select("doc_id", "simhash", F.explode(bands).alias("bk")).select(
         "doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def _banded_hamming_pairs(
+    sig: DataFrame,
+    total_bits: int,
+    n_bands: int,
+    ham_max: int,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs within `ham_max` on a `simhash` column, via banding.
+
+    Scale shape (NOT a cartesian): the signature splits into n_bands
+    equal bit-bands; by pigeonhole, a pair within ham_max differs in at
+    most ham_max bands, so whenever n_bands > ham_max at least one band
+    matches exactly and an equi-join on (band, key) finds every
+    qualifying pair.  The expensive check (bit_count of the xor) runs
+    only on band collisions — one short-key shuffle, no self-join of the
+    full signature table.
+
+    max_bucket (VERDICT r6 #1) bounds the per-bucket fanout the hamming
+    filter cannot: a mass-duplicated family shares one signature, fills
+    all its band buckets whole, and xor = 0 passes every pair — O(k^2)
+    join output from one key.  Same two-level shape as _bucket_pairs /
+    _capped_grams: bucket sizes from a map-side-combinable groupBy count
+    (a degenerate key collapses to ~#mappers partial rows), under-cap
+    verdict semi-joined back with a merge hint (the distinct (band, key)
+    set is corpus-proportional — never broadcast; the hot key's rows
+    stream through the probe side and drop unbuffered).  The `sz > 1`
+    arm also drops singleton buckets, which cannot pair — semantics-
+    neutral, and it shrinks the self-join input.  Drops are observable
+    via q_simhash48_bucket_stats.  None = uncapped (the 16-bit parity
+    baseline, whose oracle is a plain self-join and whose 4-bit bands
+    make any cap either corpus-sized or semantics-changing).
+    """
+    assert n_bands > ham_max, "banding incomplete: need n_bands > ham_max"
+    banded = _simhash_banded(sig, total_bits, n_bands)
+    if max_bucket is not None:
+        ok = (
+            banded.groupBy("band", "key")
+            .agg(F.count("*").alias("sz"))
+            .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
+            .select("band", "key")
+            .hint("merge")
+        )
+        banded = banded.join(ok, ["band", "key"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -427,7 +483,12 @@ def _banded_hamming_pairs(
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded near-dup pairs at hamming <= 2 on the 16-bit simhash (the
     round-1-oracle-parity width; q_simhash48_pairs is the production
-    width — same _banded_hamming_pairs shape, wider keys)."""
+    width — same _banded_hamming_pairs shape, wider keys).  Deliberately
+    uncapped: 4-bit bands have 16 keys, so buckets hold >half the corpus
+    at any scale (measured 300 of 500 docs at sf0.001) — a cap would be
+    either corpus-sized (meaningless) or binding at test scale (breaking
+    the plain-self-join oracle).  This width is a parity baseline, not a
+    deployment path; the capped 48-bit query is."""
     return _banded_hamming_pairs(
         q_simhash(spark, sf_dir), SIMHASH_BITS, SIMHASH_N_BANDS, SIMHASH_HAM_MAX
     )
@@ -464,23 +525,122 @@ def _simhash48_cols():
     return sums, val.cast("long")
 
 
-def q_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs on the production-width 48-bit simhash, banded into
-    4 x 12-bit keys (4096 values per band — the short-key shuffle that
-    holds at 10^12 docs).  The 16-bit variant above keeps round-1 oracle
-    parity; this one is the width you would actually deploy.  Word hashes
-    are the full 48 bits of the md5 prefix (WORD_HASH48)."""
-    d = documents(spark, sf_dir)
+def _simhash48_sig(d: DataFrame) -> DataFrame:
+    """48-bit simhash per (doc_id, text) row.  Word hashes are the full 48
+    bits of the md5 prefix.  Zero-word docs (NULL/empty/whitespace text)
+    produce no signature row — no hash votes, no banding, no pairs."""
     w = d.select("doc_id", F.explode(shared.words(F.col("text"))).alias("w"))
     h48 = (F.conv(F.substring(F.md5("w"), 1, 12), 16, 10).cast("long")).alias("h")
     sums, val = _simhash48_cols()
-    sig = w.select("doc_id", h48).groupBy("doc_id").agg(*sums).select(
+    return w.select("doc_id", h48).groupBy("doc_id").agg(*sums).select(
         "doc_id", val.alias("simhash")
     )
-    return _banded_hamming_pairs(sig, SIMHASH64_BITS, SIMHASH64_BANDS, SIMHASH64_HAM_MAX)
 
 
-def _q_simhash48_sql() -> str:
+def q_simhash48_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs on the production-width 48-bit simhash, banded into
+    4 x 12-bit keys (4096 values per band — the short-key shuffle that
+    holds at 10^12 docs), band buckets capped at SIMHASH_MAX_BUCKET
+    (dropped-and-reported, see q_simhash48_bucket_stats).  The 16-bit
+    variant above keeps round-1 oracle parity; this one is the width you
+    would actually deploy."""
+    sig = _simhash48_sig(documents(spark, sf_dir).select("doc_id", "text"))
+    return _banded_hamming_pairs(
+        sig,
+        SIMHASH64_BITS,
+        SIMHASH64_BANDS,
+        SIMHASH64_HAM_MAX,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    )
+
+
+def q_simhash48_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band census of the production simhash buckets: bucket count,
+    multi-doc buckets, the fullest bucket, and how many doc-slots the
+    SIMHASH_MAX_BUCKET cap skipped — the observable counterpart of the
+    drop in q_simhash48_pairs (VERDICT r6 #1), the simhash sibling of
+    q_lsh_bucket_stats (crumble reports its depth-cap hits the same way,
+    snp_score.c:1496-1498).  docs_skipped > 0 in production means a
+    mass-shared signature family was excluded from pairing — run exact
+    dedup first (or use the collapse_exact pair feed, which removes that
+    mass before banding)."""
+    sig = _simhash48_sig(documents(spark, sf_dir).select("doc_id", "text"))
+    banded = _simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS)
+    per_bucket = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
+            F.max("sz").alias("max_size"),
+            F.sum(
+                F.when(F.col("sz") > SIMHASH_MAX_BUCKET, F.col("sz")).otherwise(0)
+            ).alias("docs_skipped"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_multi",
+            "max_size",
+            "docs_skipped",
+        )
+    )
+
+
+def _simhash48_edges(
+    spark: SparkSession, sf_dir: str, collapse_exact: bool = False
+) -> DataFrame:
+    """(doc_a, doc_b) near-dup edges feeding the clustering step.
+
+    collapse_exact=True (VERDICT r6 #5) removes the largest quadratic
+    mass BEFORE signature computation: one representative (min doc_id)
+    per distinct text is banded and paired; every other family member is
+    re-attached by a (rep, dup) star edge.  Connected components are
+    preserved exactly in the uncapped regime — an exact-dup family is a
+    clique in the plain pair graph (identical text ⇒ identical signature
+    ⇒ same buckets, xor = 0), and a star over the same vertex set has
+    the same components; cross-family near-dup edges collapse from
+    k_A*k_B copies to one rep-rep edge on the same components.  Under
+    cap pressure the collapsed feed is strictly MORE complete: dup mass
+    no longer inflates band buckets past SIMHASH_MAX_BUCKET, so near-dup
+    structure that the cap would have dropped survives.  Star edges are
+    gated on the family having >=1 word (zero-word docs have no
+    signature and never enter the plain pair graph either).  Every step
+    is two-level: the family table is a map-side-combinable groupBy min
+    on the null-pinned text hash, merge-hinted (one row per distinct
+    text — corpus-proportional, never broadcast)."""
+    if not collapse_exact:
+        return q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = documents(spark, sf_dir).select(
+        "doc_id", "text", _text_hash().alias("th")
+    )
+    fam = (
+        d.groupBy("th")
+        .agg(F.min("doc_id").alias("rep"))
+        .hint("merge")
+    )
+    withrep = d.join(fam, "th")
+    reps = withrep.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    sig = _simhash48_sig(reps)
+    rep_pairs = _banded_hamming_pairs(
+        sig,
+        SIMHASH64_BITS,
+        SIMHASH64_BANDS,
+        SIMHASH64_HAM_MAX,
+        max_bucket=SIMHASH_MAX_BUCKET,
+    ).select("doc_a", "doc_b")
+    # rep = family min doc_id, so rep < doc_id: the doc_a < doc_b pair
+    # invariant holds by construction on star edges.
+    star = (
+        withrep.filter(F.col("doc_id") != F.col("rep"))
+        .filter(F.size(shared.words(F.col("text"))) > 0)
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+    )
+    return rep_pairs.unionByName(star)
+
+
+def _simhash48_bands_cte() -> str:
+    """Shared CTE prefix: documents → 48-bit signatures → banded rows."""
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(SIMHASH64_BITS)
@@ -501,12 +661,34 @@ def _q_simhash48_sql() -> str:
         "h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM wds), "
         f"agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id), "
         f"sim AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM agg), "
-        f"bands AS ({band_rows}) "
+        f"bands AS ({band_rows})"
+    )
+
+
+def _q_simhash48_sql() -> str:
+    return (
+        _simhash48_bands_cte()
+        + ", ok AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING count(*) > 1 AND count(*) <= {SIMHASH_MAX_BUCKET}) "
         "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
         "CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
         "AND a.doc_id < b.doc_id "
+        "JOIN ok ON ok.band = a.band AND ok.key = a.key "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH64_HAM_MAX}"
+    )
+
+
+def _q_simhash48_bucket_stats_sql() -> str:
+    return (
+        _simhash48_bands_cte()
+        + ", pb AS (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) "
+        "SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets, "
+        "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi, "
+        "max(sz) AS max_size, "
+        f"CAST(sum(CASE WHEN sz > {SIMHASH_MAX_BUCKET} THEN sz ELSE 0 END) AS BIGINT) "
+        "AS docs_skipped "
+        "FROM pb GROUP BY band"
     )
 
 
@@ -723,8 +905,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(diameter).  Lineage is truncated per round (localCheckpoint) so
     the plan doesn't grow with iterations; the fixpoint semantics stay
     exact and oracle-checkable (DuckDB recursive CTE).
+
+    Pair feed (r7, VERDICT r6 #5): _simhash48_edges with the exact-dup
+    collapse — identical components (clique → star on the same vertex
+    set; the DuckDB oracle clusters the plain capped pair SQL and the
+    results hash-match), with the per-family and cross-family quadratic
+    pair mass deleted before the band join.
     """
-    pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = _simhash48_edges(spark, sf_dir, collapse_exact=True)
     labels = _connected_components(pairs)
     # Two-level size (VERDICT r5 #1): a mass-duplicated boilerplate family
     # is exactly what forms one giant component (10^6-10^8 docs under one
@@ -813,8 +1001,10 @@ def q_cluster_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     for context).  The round count is algorithm-specific (pointer
     jumping), so this is rows-only by design — its value is operational:
     n_rounds drifting toward CLUSTER_MAX_ITERS on a production graph is
-    the early warning the r3 verdict asked to surface (#8)."""
-    pairs = q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    the early warning the r3 verdict asked to surface (#8).  Consumes the
+    same collapsed edge feed as q_dedup_clusters so the audit describes
+    the graph the clustering actually runs on."""
+    pairs = _simhash48_edges(spark, sf_dir, collapse_exact=True)
     stats: dict = {}
     labels = _connected_components(pairs, stats=stats)
     agg = labels.agg(
@@ -884,9 +1074,13 @@ ORACLES = {
 LOCAL_QUERIES = {
     "dedup_simhash_sig": q_simhash,
     "dedup_simhash_pairs": q_dedup_simhash,
+    # r7 (VERDICT r6 #1): the drop audit for the production simhash band
+    # cap — LOCAL because the driver window is pinned at exactly 50.
+    "dedup_simhash48_bucket_stats": q_simhash48_bucket_stats,
 }
 
 LOCAL_ORACLES = {
     "dedup_simhash_sig": Q_SIMHASH_SQL,
     "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
+    "dedup_simhash48_bucket_stats": _q_simhash48_bucket_stats_sql(),
 }

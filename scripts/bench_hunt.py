@@ -39,13 +39,21 @@ def run_pass() -> dict | None:
         text=True,
         cwd=REPO,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-2000:])
+        return None
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
             try:
-                return json.loads(line)
+                r = json.loads(line)
             except ValueError:
                 continue
+            # Only accept a bench.py result line — any other JSON emitted
+            # on stdout (ADVICE r6) must not crash the multi-hour hunt
+            # with a KeyError downstream.
+            if isinstance(r, dict) and "q1_encode" in r.get("queries", {}):
+                return r
     sys.stderr.write(out.stderr[-2000:])
     return None
 
@@ -82,6 +90,15 @@ def main() -> None:
     if not results:
         raise SystemExit("no successful passes")
     best = min(results, key=lambda r: r["queries"]["q1_encode"])
+    if any(r.get("probe_mtoks_core_start") is None for r in results):
+        # An old bench.py without the probe field would otherwise be
+        # silently classified noisy, leaving best_calm_pass null with no
+        # explanation (ADVICE r6).
+        print(
+            "warning: some passes lack probe_mtoks_core_start "
+            "(old bench.py?) — they are treated as NOISY",
+            file=sys.stderr,
+        )
     calm = [
         r
         for r in results

@@ -51,7 +51,10 @@ def main() -> None:
     # probe pass can still carry a squeezed 4N side.  Also report the best
     # efficiency among passes whose window verifiably held (calm_pair) —
     # with the full pass log attached, neither number is hand-picked.
-    best_calm = max(pool, key=lambda p: p["efficiency"])
+    # STRICTLY calm: when no pass has a verified-held window, emit null
+    # rather than silently promoting a NOISY pass under the calm key
+    # (ADVICE r6) — mirroring bench_hunt.py's best_calm_pass.
+    best_calm = max(calm, key=lambda p: p["efficiency"]) if calm else None
     print(
         json.dumps(
             {
@@ -65,7 +68,7 @@ def main() -> None:
                 "best_of_efficiency": best_eff,
                 "calmest_pass_efficiency": calmest["efficiency"],
                 "calmest_pass": calmest,
-                "best_calm_pair_efficiency": best_calm["efficiency"],
+                "best_calm_pair_efficiency": best_calm["efficiency"] if best_calm else None,
                 "best_calm_pair": best_calm,
             },
             indent=2,

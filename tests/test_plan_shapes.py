@@ -352,6 +352,40 @@ def test_clusters_collapse_exact_prefilter(spark, tmp_path):
     assert comp(plain) == comp(coll)
 
 
+def test_collapse_exact_survives_cap_pressure(spark, tmp_path):
+    # Pins the docstring claim that the collapsed feed is strictly MORE
+    # complete under cap pressure: a dup family larger than
+    # SIMHASH_MAX_BUCKET overflows every band bucket on the plain feed
+    # (all its pairs AND its near-dup links drop-and-report), while the
+    # collapsed feed bands one representative — buckets shrink to 2, the
+    # near-dup link survives, and the family re-attaches as star edges.
+    from crumble_spark.pipeline.dedup import (
+        SIMHASH_MAX_BUCKET,
+        _connected_components,
+        _simhash48_edges,
+    )
+
+    fam = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    k = SIMHASH_MAX_BUCKET + 22  # family alone overflows every bucket
+    rows = [(i, fam, "s0") for i in range(k)]
+    # same word sequence via a doubled space: identical 48-bit signature
+    # (hamming 0) but a different raw text, so a different exact family —
+    # the near-dup neighbor the cap would lose on the plain feed
+    rows += [(9000, fam.replace("dolor sit", "dolor  sit"), "s1")]
+    sf = _write_docs_fixture(tmp_path, rows)
+
+    plain = _simhash48_edges(spark, sf, collapse_exact=False)
+    coll = _simhash48_edges(spark, sf, collapse_exact=True)
+    assert plain.count() == 0  # every bucket holds k+1 > cap: all dropped
+    coll_edges = {(r["doc_a"], r["doc_b"]) for r in coll.collect()}
+    # k-1 star edges re-attach the family; the rep–neighbor pair survives
+    assert (0, 9000) in coll_edges
+    assert {(0, i) for i in range(1, k)} <= coll_edges
+    assert len(coll_edges) == k
+    labs = {r["lab"] for r in _connected_components(coll).collect()}
+    assert labs == {0}  # one complete component, cap notwithstanding
+
+
 def test_prefix_degenerate_group_completes(spark, tmp_path):
     # VERDICT r6 minor (a): one prefix group containing ~all rows.  The
     # two-level count prevents the singleton majority from entering the

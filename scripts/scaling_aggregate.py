@@ -44,16 +44,20 @@ def main() -> None:
         raise SystemExit("no non-empty invocation JSONs")
     best_eff = round(best[str(n4)]["tput"] / best[str(n)]["tput"] / 4, 3)
     calm = [p for p in passes if p.get("calm_pair")]
-    pool = calm or passes
-    calmest = max(pool, key=lambda p: min(p["probe_pre"], p["probe_post"]))
+    # Both calm-named keys are STRICTLY calm: when no pass has a verified-
+    # held window, emit null rather than silently promoting a NOISY pass
+    # under a calm key (ADVICE r6; originally only best_calm_pair was
+    # restricted — calmest_pass had the same silent fallback).
+    calmest = (
+        max(calm, key=lambda p: min(p["probe_pre"], p["probe_post"]))
+        if calm
+        else None
+    )
     # The single-core probe cannot see 8-core bandwidth pressure (CLAUDE.md:
     # it's a window-quality gate, not a linear corrector), so the max-min-
     # probe pass can still carry a squeezed 4N side.  Also report the best
     # efficiency among passes whose window verifiably held (calm_pair) —
     # with the full pass log attached, neither number is hand-picked.
-    # STRICTLY calm: when no pass has a verified-held window, emit null
-    # rather than silently promoting a NOISY pass under the calm key
-    # (ADVICE r6) — mirroring bench_hunt.py's best_calm_pass.
     best_calm = max(calm, key=lambda p: p["efficiency"]) if calm else None
     print(
         json.dumps(
@@ -66,7 +70,7 @@ def main() -> None:
                 "n_calm_passes": len(calm),
                 "best_of_each_level": best,
                 "best_of_efficiency": best_eff,
-                "calmest_pass_efficiency": calmest["efficiency"],
+                "calmest_pass_efficiency": calmest["efficiency"] if calmest else None,
                 "calmest_pass": calmest,
                 "best_calm_pair_efficiency": best_calm["efficiency"] if best_calm else None,
                 "best_calm_pair": best_calm,

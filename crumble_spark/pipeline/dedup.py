@@ -563,9 +563,15 @@ def q_simhash48_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     snp_score.c:1496-1498).  docs_skipped > 0 in production means a
     mass-shared signature family was excluded from pairing — run exact
     dedup first (or use the collapse_exact pair feed, which removes that
-    mass before banding)."""
+    mass before banding; its own residual drops are audited by
+    q_simhash48_bucket_stats_collapsed)."""
     sig = _simhash48_sig(documents(spark, sf_dir).select("doc_id", "text"))
-    banded = _simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS)
+    return _bucket_census(_simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS))
+
+
+def _bucket_census(banded: DataFrame) -> DataFrame:
+    """Per-band bucket census over (band, key) rows — shared by the plain
+    and collapsed simhash48 audits."""
     per_bucket = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
     return (
         per_bucket.groupBy("band")
@@ -585,6 +591,50 @@ def q_simhash48_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "docs_skipped",
         )
     )
+
+
+def q_simhash48_bucket_stats_collapsed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucket census of the banding the CLUSTERING feed actually runs on
+    (exact-dup families collapsed to their representative before
+    signatures): the drop-and-report counterpart for q_dedup_clusters /
+    q_cluster_convergence.  The plain-feed census above audits
+    q_simhash48_pairs; its docs_skipped neither matches nor flags what
+    the collapsed feed drops — a family of >SIMHASH_MAX_BUCKET DISTINCT
+    near-identical texts (distinct hashes, one shared signature) still
+    overflows rep-level buckets, and this query is where that shows up
+    in production."""
+    _, _, reps = _collapsed_reps(spark, sf_dir)
+    sig = _simhash48_sig(reps)
+    return _bucket_census(_simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS))
+
+
+def _collapsed_reps(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(d, fam, reps): the exact-dup collapse tables — d = (doc_id, text,
+    null-pinned text hash), fam = one min-doc_id representative per
+    distinct text (map-side-combinable groupBy, merge-hinted: one row per
+    distinct text is corpus-proportional, never broadcast), reps = the
+    representatives with their text.  Shared by the clustering edge feed
+    (_simhash48_edges) and its bucket audit
+    (q_simhash48_bucket_stats_collapsed) so the audited banding is the
+    banding the clustering actually runs on."""
+    d = documents(spark, sf_dir).select(
+        "doc_id", "text", _text_hash().alias("th")
+    )
+    fam = (
+        d.groupBy("th")
+        .agg(F.min("doc_id").alias("rep"))
+        .hint("merge")
+    )
+    reps = (
+        d.join(fam, "th")
+        .filter(F.col("doc_id") == F.col("rep"))
+        .select("doc_id", "text")
+    )
+    return d, fam, reps
 
 
 def _simhash48_edges(
@@ -611,16 +661,7 @@ def _simhash48_edges(
     text — corpus-proportional, never broadcast)."""
     if not collapse_exact:
         return q_simhash48_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    d = documents(spark, sf_dir).select(
-        "doc_id", "text", _text_hash().alias("th")
-    )
-    fam = (
-        d.groupBy("th")
-        .agg(F.min("doc_id").alias("rep"))
-        .hint("merge")
-    )
-    withrep = d.join(fam, "th")
-    reps = withrep.filter(F.col("doc_id") == F.col("rep")).select("doc_id", "text")
+    d, fam, reps = _collapsed_reps(spark, sf_dir)
     sig = _simhash48_sig(reps)
     rep_pairs = _banded_hamming_pairs(
         sig,
@@ -629,18 +670,35 @@ def _simhash48_edges(
         SIMHASH64_HAM_MAX,
         max_bucket=SIMHASH_MAX_BUCKET,
     ).select("doc_a", "doc_b")
+    # Star-edge word gate, evaluated once per FAMILY (on the rep's text —
+    # members share identical text, so rep has >=1 word iff every member
+    # does), never per duplicate: the non-rep rows are exactly the mass
+    # the collapse exists to avoid processing, and gating them row-wise
+    # would re-tokenize every dup's text AND carry the text column
+    # through the th-join.  fam_ok rides the existing th shuffle, so the
+    # star branch touches only (doc_id, th, rep) — ints and hashes.
+    fam_ok = fam.join(
+        reps.filter(F.size(shared.words(F.col("text"))) > 0).select(
+            F.col("doc_id").alias("rep")
+        ),
+        "rep",
+        "left_semi",
+    ).hint("merge")
     # rep = family min doc_id, so rep < doc_id: the doc_a < doc_b pair
     # invariant holds by construction on star edges.
     star = (
-        withrep.filter(F.col("doc_id") != F.col("rep"))
-        .filter(F.size(shared.words(F.col("text"))) > 0)
+        d.select("doc_id", "th")
+        .join(fam_ok, "th")
+        .filter(F.col("doc_id") != F.col("rep"))
         .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
     )
     return rep_pairs.unionByName(star)
 
 
-def _simhash48_bands_cte() -> str:
-    """Shared CTE prefix: documents → 48-bit signatures → banded rows."""
+def _simhash48_bands_cte(src: str = "documents", head: str = "") -> str:
+    """Shared CTE prefix: `src` rows (doc_id, text) → 48-bit signatures →
+    banded rows.  `head` prepends extra CTEs (e.g. the fam/reps pair that
+    defines the collapsed-feed source) before the signature chain."""
     bit_sums = ", ".join(
         f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
         for i in range(SIMHASH64_BITS)
@@ -655,13 +713,50 @@ def _simhash48_bands_cte() -> str:
         for b in range(SIMHASH64_BANDS)
     )
     return (
-        "WITH wds AS (SELECT doc_id, unnest("
+        "WITH " + head + "wds AS (SELECT doc_id, unnest("
         + shared.WORDS_SQL.format(c="text")
-        + ") AS w FROM documents), "
+        + f") AS w FROM {src}), "
         "h AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) AS h FROM wds), "
         f"agg AS (SELECT doc_id, {bit_sums} FROM h GROUP BY doc_id), "
         f"sim AS (SELECT doc_id, CAST({val} AS BIGINT) AS simhash FROM agg), "
         f"bands AS ({band_rows})"
+    )
+
+
+# fam/reps CTE pair: the SQL mirror of the exact-dup collapse in
+# _simhash48_edges — one min-doc_id representative per distinct
+# (null-pinned) text; reps keep their text for signature computation.
+_FAM_REPS_CTE = (
+    f"fam AS (SELECT {TEXT_HASH_SQL} AS th, min(doc_id) AS rep "
+    "FROM documents GROUP BY 1), "
+    "reps AS (SELECT doc_id, text FROM documents "
+    "WHERE doc_id IN (SELECT rep FROM fam)), "
+)
+
+
+def _q_simhash48_collapsed_edges_sql() -> str:
+    """(doc_a, doc_b) edge feed of q_dedup_clusters, in DuckDB SQL: capped
+    band pairs among exact-dup family representatives, plus (rep, dup)
+    star edges for every non-rep member of a >=1-word family — the exact
+    mirror of _simhash48_edges(collapse_exact=True), cap included, so the
+    clusters oracle agrees with Spark even when SIMHASH_MAX_BUCKET binds
+    (on the plain feed a mass-dup family overflows the cap and drops; the
+    collapsed feed keeps it via its rep — the two only agree when the cap
+    binds on neither, which held at oracle scale but is not a contract)."""
+    star_gate = shared.WORDS_SQL.format(c="d.text")
+    return (
+        _simhash48_bands_cte(src="reps", head=_FAM_REPS_CTE)
+        + ", ok AS (SELECT band, key FROM bands GROUP BY band, key "
+        f"HAVING count(*) > 1 AND count(*) <= {SIMHASH_MAX_BUCKET}), "
+        "rp AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id "
+        "JOIN ok ON ok.band = a.band AND ok.key = a.key "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH64_HAM_MAX}), "
+        "star AS (SELECT f.rep AS doc_a, d.doc_id AS doc_b FROM documents d "
+        f"JOIN fam f ON {TEXT_HASH_SQL.replace('md5(text)', 'md5(d.text)')} = f.th "
+        f"WHERE d.doc_id <> f.rep AND len({star_gate}) > 0) "
+        "SELECT doc_a, doc_b FROM rp UNION ALL SELECT doc_a, doc_b FROM star"
     )
 
 
@@ -679,9 +774,11 @@ def _q_simhash48_sql() -> str:
     )
 
 
-def _q_simhash48_bucket_stats_sql() -> str:
+def _q_simhash48_bucket_stats_sql(
+    src: str = "documents", head: str = ""
+) -> str:
     return (
-        _simhash48_bands_cte()
+        _simhash48_bands_cte(src=src, head=head)
         + ", pb AS (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) "
         "SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets, "
         "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi, "
@@ -908,9 +1005,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pair feed (r7, VERDICT r6 #5): _simhash48_edges with the exact-dup
     collapse — identical components (clique → star on the same vertex
-    set; the DuckDB oracle clusters the plain capped pair SQL and the
-    results hash-match), with the per-family and cross-family quadratic
-    pair mass deleted before the band join.
+    set), with the per-family and cross-family quadratic pair mass
+    deleted before the band join.  The DuckDB oracle clusters the SAME
+    collapsed feed (_q_simhash48_collapsed_edges_sql), so parity is
+    regime-independent: against the plain capped pairs it would hold
+    only while the cap binds on neither feed (a >SIMHASH_MAX_BUCKET
+    exact-dup family is dropped by the plain feed but kept by the
+    collapse).  Drop audit for this feed:
+    q_simhash48_bucket_stats_collapsed.
     """
     pairs = _simhash48_edges(spark, sf_dir, collapse_exact=True)
     labels = _connected_components(pairs)
@@ -1024,9 +1126,13 @@ def q_cluster_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_clusters_sql() -> str:
+    """Recursive-CTE clustering over the SAME collapsed edge feed the
+    Spark query consumes (not the plain capped pairs — see
+    _q_simhash48_collapsed_edges_sql for why the feeds diverge exactly
+    when the cap binds), so the oracle is regime-independent."""
     return (
         "WITH RECURSIVE p AS (SELECT doc_a, doc_b FROM ("
-        + _q_simhash48_sql()
+        + _q_simhash48_collapsed_edges_sql()
         + ")), "
         "edges AS (SELECT doc_a AS s, doc_b AS d FROM p "
         "UNION SELECT doc_b, doc_a FROM p), "
@@ -1077,10 +1183,17 @@ LOCAL_QUERIES = {
     # r7 (VERDICT r6 #1): the drop audit for the production simhash band
     # cap — LOCAL because the driver window is pinned at exactly 50.
     "dedup_simhash48_bucket_stats": q_simhash48_bucket_stats,
+    # r7: the same census over the collapsed (clustering) feed — the
+    # plain-feed audit cannot see what the collapse's rep-level banding
+    # drops, so the clustering path gets its own drop-and-report row.
+    "dedup_simhash48_bucket_stats_collapsed": q_simhash48_bucket_stats_collapsed,
 }
 
 LOCAL_ORACLES = {
     "dedup_simhash_sig": Q_SIMHASH_SQL,
     "dedup_simhash_pairs": Q_DEDUP_SIMHASH_SQL,
     "dedup_simhash48_bucket_stats": _q_simhash48_bucket_stats_sql(),
+    "dedup_simhash48_bucket_stats_collapsed": _q_simhash48_bucket_stats_sql(
+        src="reps", head=_FAM_REPS_CTE
+    ),
 }

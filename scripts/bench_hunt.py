@@ -52,7 +52,11 @@ def run_pass() -> dict | None:
             # Only accept a bench.py result line — any other JSON emitted
             # on stdout (ADVICE r6) must not crash the multi-hour hunt
             # with a KeyError downstream.
-            if isinstance(r, dict) and "q1_encode" in r.get("queries", {}):
+            if (
+                isinstance(r, dict)
+                and isinstance(r.get("queries"), dict)
+                and "q1_encode" in r["queries"]
+            ):
                 return r
     sys.stderr.write(out.stderr[-2000:])
     return None

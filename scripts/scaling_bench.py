@@ -176,8 +176,14 @@ def main() -> None:
         )
     best_eff = round(best[4 * n]["tokens_per_sec"] / best[n]["tokens_per_sec"] / 4, 3)
     calm_passes = [p for p in passes if p["calm_pair"]]
-    pool = calm_passes or passes
-    calmest = max(pool, key=lambda p: min(p["probe_pre"], p["probe_post"]))
+    # STRICTLY calm, null when no pass's window verifiably held — the same
+    # no-silent-fallback rule as scaling_aggregate.py (ADVICE r6): a NOISY
+    # pass must never be reported under a calm-named key.
+    calmest = (
+        max(calm_passes, key=lambda p: min(p["probe_pre"], p["probe_post"]))
+        if calm_passes
+        else None
+    )
     print(
         json.dumps(
             {
@@ -191,7 +197,9 @@ def main() -> None:
                 f"steal_local{n}": best[n].get("steal_pct"),
                 f"steal_local{4 * n}": best[4 * n].get("steal_pct"),
                 "scaling_efficiency": best_eff,
-                "calmest_pass_efficiency": calmest["efficiency"],
+                "calmest_pass_efficiency": (
+                    calmest["efficiency"] if calmest else None
+                ),
                 "calmest_pass": calmest,
                 "n_passes": len(passes),
                 "n_skipped_noisy": skipped,

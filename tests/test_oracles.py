@@ -70,13 +70,12 @@ def test_null_text_and_source_parity(spark, tmp_path):
     # hash, coalesced prefix hash, null-safe sampling semi-join); this
     # corpus has NULL text, empty text, NULL source, and real dup groups
     # so every one of those paths diverges if the pin regresses.
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from conftest import write_docs_fixture
 
     from crumble_spark.pipeline import curate, dedup, sampling
 
     rows = [
-        # (doc_id, text, source) — lang/n_chars filled below
+        # (doc_id, text, source) — lang/n_chars filled by the fixture
         (1, None, "src0"),
         (2, None, "src1"),
         (3, None, None),
@@ -93,11 +92,7 @@ def test_null_text_and_source_parity(spark, tmp_path):
         (100 + i, f"filler document number {i} with some extra words " + ("pad " * i), None if i % 3 == 0 else f"src{i % 4}")
         for i in range(24)
     ]
-    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
-    pdf["doc_id"] = pdf["doc_id"].astype("int64")
-    pdf["lang"] = "en"
-    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int64")
-    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
+    write_docs_fixture(tmp_path, rows)
 
     con = duckdb.connect()
     con.sql(
@@ -125,7 +120,7 @@ def test_null_text_and_source_parity(spark, tmp_path):
     assert {2, 3} <= dropped
     # and the funnel total must still count every document
     funnel = curate.q_clean_funnel(spark, str(tmp_path)).toPandas()
-    assert int(funnel.loc[funnel.stage == "0_total", "n_docs"].iloc[0]) == len(pdf)
+    assert int(funnel.loc[funnel.stage == "0_total", "n_docs"].iloc[0]) == len(rows)
 
 
 def test_token_count_regex_exotic_whitespace_parity(spark, tmp_path):

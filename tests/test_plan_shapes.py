@@ -5,6 +5,7 @@ someone reintroduces a cartesian/nested-loop join or an unbounded window.
 """
 
 import pytest
+from conftest import write_docs_fixture as _write_docs_fixture
 
 from crumble_spark.pipeline import dedup, relational, simsearch
 
@@ -301,18 +302,6 @@ def test_connected_components_multiple_components(spark):
     assert labels == {10: 10, 11: 10, 12: 10, 30: 30, 31: 30, 50: 30, 51: 30}
 
 
-def _write_docs_fixture(tmp_path, rows):
-    """Minimal documents.parquet with the real table's columns."""
-    import pandas as pd
-    import pyarrow as pa
-    import pyarrow.parquet as pq
-
-    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
-    pdf["doc_id"] = pdf["doc_id"].astype("int64")
-    pdf["lang"] = "en"
-    pdf["n_chars"] = pdf["text"].str.len().fillna(0).astype("int64")
-    pq.write_table(pa.Table.from_pandas(pdf), str(tmp_path / "documents.parquet"))
-    return str(tmp_path)
 
 
 def test_clusters_collapse_exact_prefilter(spark, tmp_path):
@@ -384,6 +373,53 @@ def test_collapse_exact_survives_cap_pressure(spark, tmp_path):
     assert len(coll_edges) == k
     labs = {r["lab"] for r in _connected_components(coll).collect()}
     assert labs == {0}  # one complete component, cap notwithstanding
+
+
+def test_clusters_oracle_parity_under_binding_cap(spark, tmp_path):
+    # The registered dedup_clusters oracle used to cluster the PLAIN
+    # capped pairs, so Spark/DuckDB agreed only while SIMHASH_MAX_BUCKET
+    # bound on NEITHER feed — an unpinned precondition (r7 review).  The
+    # oracle now mirrors the collapsed feed; this test pins full-result
+    # parity in the exact regime where the two feeds diverge: a dup
+    # family larger than the cap (plain feed drops it whole, collapsed
+    # feed keeps it via rep + star edges).
+    import duckdb
+    import pandas as pd
+
+    from crumble_spark.pipeline.dedup import (
+        SIMHASH_MAX_BUCKET,
+        _q_dedup_clusters_sql,
+        q_dedup_clusters,
+    )
+
+    fam = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    k = SIMHASH_MAX_BUCKET + 22  # family alone overflows every band bucket
+    rows = [(i, fam, "s0") for i in range(k)]
+    # same word sequence (doubled space): near-dup neighbor at hamming 0
+    rows += [(9000, fam.replace("dolor sit", "dolor  sit"), "s1")]
+    # unique-text docs that pair with nothing, plus a NULL-text pair
+    rows += [
+        (2000 + i, f"wholly unrelated filler number {i} " + f"tail{i} " * (i + 3), "s2")
+        for i in range(4)
+    ]
+    rows += [(3000, None, "s3"), (3001, None, "s3")]
+    sf = _write_docs_fixture(tmp_path, rows)
+
+    got = q_dedup_clusters(spark, sf).toPandas()
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet')"
+    )
+    want = con.sql(_q_dedup_clusters_sql()).df()
+
+    def norm(df):
+        df = df[sorted(df.columns)].astype("int64")
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    got, want = norm(got), norm(want)
+    assert len(got) == len(want) and len(got) == k + 1  # family + neighbor
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
 def test_prefix_degenerate_group_completes(spark, tmp_path):

@@ -77,7 +77,11 @@ def _text_hash():
     return F.coalesce(F.md5("text"), F.lit("__null__"))
 
 
-TEXT_HASH_SQL = "coalesce(md5(text), '__null__')"
+# Template form for call sites that must qualify the column (e.g. d.text
+# in a join) — .format(c=...) fails loud on a bad placeholder, unlike
+# string .replace() surgery which silently no-ops.
+TEXT_HASH_SQL_T = "coalesce(md5({c}), '__null__')"
+TEXT_HASH_SQL = TEXT_HASH_SQL_T.format(c="text")
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -307,6 +311,45 @@ Q_DEDUP_MINHASH_SQL = (
 )
 
 
+def _bucket_census(banded: DataFrame, cap: int) -> DataFrame:
+    """Per-band bucket census over (band, key) rows with docs_skipped
+    counted against `cap` — THE census aggregation, shared by the LSH
+    audit and both simhash48 audits so the drop-report schema cannot
+    drift between families."""
+    per_bucket = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
+    return (
+        per_bucket.groupBy("band")
+        .agg(
+            F.count("*").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
+            F.max("sz").alias("max_size"),
+            F.sum(
+                F.when(F.col("sz") > cap, F.col("sz")).otherwise(0)
+            ).alias("docs_skipped"),
+        )
+        .select(
+            F.col("band").cast("int").alias("band"),
+            "n_buckets",
+            "n_multi",
+            "max_size",
+            "docs_skipped",
+        )
+    )
+
+
+def _bucket_census_sql_tail(cap: int) -> str:
+    """SQL twin of _bucket_census: appends the census to any CTE chain
+    ending in bands(doc_id, band, key)."""
+    return (
+        ", pb AS (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) "
+        "SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets, "
+        "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi, "
+        "max(sz) AS max_size, "
+        f"CAST(sum(CASE WHEN sz > {cap} THEN sz ELSE 0 END) AS BIGINT) AS docs_skipped "
+        "FROM pb GROUP BY band"
+    )
+
+
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-band LSH bucket census: how many buckets exist, how full the
     fullest is, and how many (docs) the size cap skipped — the observable
@@ -324,35 +367,11 @@ def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     banded = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
-    per_bucket = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
-    return (
-        per_bucket.groupBy("band")
-        .agg(
-            F.count("*").alias("n_buckets"),
-            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
-            F.max("sz").alias("max_size"),
-            F.sum(F.when(F.col("sz") > LSH_MAX_BUCKET, F.col("sz")).otherwise(0)).alias(
-                "docs_skipped"
-            ),
-        )
-        .select(
-            F.col("band").cast("int").alias("band"),
-            "n_buckets",
-            "n_multi",
-            "max_size",
-            "docs_skipped",
-        )
-    )
+    return _bucket_census(banded, LSH_MAX_BUCKET)
 
 
 Q_LSH_BUCKET_STATS_SQL = (
-    _minhash_cte()
-    + ", pb AS (SELECT band, key, count(*) AS sz FROM bands GROUP BY band, key) "
-    "SELECT CAST(band AS INTEGER) AS band, count(*) AS n_buckets, "
-    "CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi, "
-    "max(sz) AS max_size, "
-    f"CAST(sum(CASE WHEN sz > {LSH_MAX_BUCKET} THEN sz ELSE 0 END) AS BIGINT) AS docs_skipped "
-    "FROM pb GROUP BY band"
+    _minhash_cte() + _bucket_census_sql_tail(LSH_MAX_BUCKET)
 )
 
 
@@ -566,30 +585,8 @@ def q_simhash48_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass before banding; its own residual drops are audited by
     q_simhash48_bucket_stats_collapsed)."""
     sig = _simhash48_sig(documents(spark, sf_dir).select("doc_id", "text"))
-    return _bucket_census(_simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS))
-
-
-def _bucket_census(banded: DataFrame) -> DataFrame:
-    """Per-band bucket census over (band, key) rows — shared by the plain
-    and collapsed simhash48 audits."""
-    per_bucket = banded.groupBy("band", "key").agg(F.count("*").alias("sz"))
-    return (
-        per_bucket.groupBy("band")
-        .agg(
-            F.count("*").alias("n_buckets"),
-            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias("n_multi"),
-            F.max("sz").alias("max_size"),
-            F.sum(
-                F.when(F.col("sz") > SIMHASH_MAX_BUCKET, F.col("sz")).otherwise(0)
-            ).alias("docs_skipped"),
-        )
-        .select(
-            F.col("band").cast("int").alias("band"),
-            "n_buckets",
-            "n_multi",
-            "max_size",
-            "docs_skipped",
-        )
+    return _bucket_census(
+        _simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS), SIMHASH_MAX_BUCKET
     )
 
 
@@ -607,7 +604,9 @@ def q_simhash48_bucket_stats_collapsed(
     in production."""
     _, _, reps = _collapsed_reps(spark, sf_dir)
     sig = _simhash48_sig(reps)
-    return _bucket_census(_simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS))
+    return _bucket_census(
+        _simhash_banded(sig, SIMHASH64_BITS, SIMHASH64_BANDS), SIMHASH_MAX_BUCKET
+    )
 
 
 def _collapsed_reps(
@@ -629,10 +628,17 @@ def _collapsed_reps(
         .agg(F.min("doc_id").alias("rep"))
         .hint("merge")
     )
-    reps = (
-        d.join(fam, "th")
-        .filter(F.col("doc_id") == F.col("rep"))
-        .select("doc_id", "text")
+    # Select reps by doc_id semi-join, NOT by re-joining d on th and
+    # filtering: the th key is hot under a mass-dup family (10^8 copies of
+    # one text = 10^8 full-text rows sorted in one SMJ task), while doc_id
+    # is unique — the same shuffle volume with zero skew.  This is the
+    # shape the SQL mirror uses (WHERE doc_id IN (SELECT rep FROM fam)).
+    # Merge hint: the rep-id set is one row per distinct text —
+    # corpus-proportional, never broadcast.
+    reps = d.select("doc_id", "text").join(
+        fam.select(F.col("rep").alias("doc_id")).hint("merge"),
+        "doc_id",
+        "left_semi",
     )
     return d, fam, reps
 
@@ -754,7 +760,7 @@ def _q_simhash48_collapsed_edges_sql() -> str:
         "JOIN ok ON ok.band = a.band AND ok.key = a.key "
         f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH64_HAM_MAX}), "
         "star AS (SELECT f.rep AS doc_a, d.doc_id AS doc_b FROM documents d "
-        f"JOIN fam f ON {TEXT_HASH_SQL.replace('md5(text)', 'md5(d.text)')} = f.th "
+        f"JOIN fam f ON {TEXT_HASH_SQL_T.format(c='d.text')} = f.th "
         f"WHERE d.doc_id <> f.rep AND len({star_gate}) > 0) "
         "SELECT doc_a, doc_b FROM rp UNION ALL SELECT doc_a, doc_b FROM star"
     )

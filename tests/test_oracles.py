@@ -102,6 +102,19 @@ def test_null_text_and_source_parity(spark, tmp_path):
     checks = [
         ("dedup_exact", dedup.q_dedup_exact, dedup.Q_DEDUP_EXACT_SQL),
         ("dedup_prefix", dedup.q_dedup_prefix, dedup.Q_DEDUP_PREFIX_SQL),
+        # r7: the exact-dup collapse adds th-keyed joins (family table,
+        # star branch) feeding the registered clusters oracle and the
+        # collapsed census — per the CLAUDE.md rule, every new join on
+        # the null-pinned text hash gets NULL-corpus parity coverage HERE
+        # (this corpus has NULL text, empty text, and real dup families).
+        ("dedup_clusters", dedup.q_dedup_clusters, dedup._q_dedup_clusters_sql()),
+        (
+            "simhash48_bucket_stats_collapsed",
+            dedup.q_simhash48_bucket_stats_collapsed,
+            dedup._q_simhash48_bucket_stats_sql(
+                src="reps", head=dedup._FAM_REPS_CTE
+            ),
+        ),
         ("clean_manifest", curate.q_clean_manifest, curate._q_clean_manifest_sql()),
         ("clean_funnel", curate.q_clean_funnel, curate._q_clean_funnel_sql()),
         ("sample_stratified", sampling.q_sample_stratified, sampling.Q_SAMPLE_STRATIFIED_SQL),

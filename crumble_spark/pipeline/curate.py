@@ -7,12 +7,12 @@ Mirrors the engine's own discipline (every stage independently verified,
 the composition verified again end-to-end — crumble verifies per record
 AND reports run totals, snp_score.c:2021-2026, 2650-2666).
 
-Scale shape: quality/langid are projections (no shuffle); the dedup drop
-list anti-joins on doc_id with NO broadcast hint — at web scale exact-dup
-drop lists are 20-50% of all docs (billions of rows), so forcing a
-driver-side broadcast would OOM; AQE upgrades the anti-join to broadcast
-at runtime iff the list actually fits.  The final join is on doc_id (the
-natural key both sides are derived from).
+Scale shape (r8): quality/langid are projections (no shuffle); the
+exact-dedup survivor is folded into ONE map-side-combinable
+groupBy(text_hash) as the group's min(struct(doc_id, scores)) — one scan,
+one shuffle of per-mapper partial rows, no join anywhere.  A
+mass-duplicated text (10^8 copies at web scale) collapses to one partial
+row per mapper; nothing is broadcast, nothing is windowed.
 """
 
 from __future__ import annotations
@@ -27,20 +27,22 @@ QUALITY_MIN_E6 = 500_000  # keep docs scoring >= 0.5
 KEEP_LANGS = ("en",)
 
 
-def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every gate's value in one pass over documents: quality and langid
+def _group_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every gate, aggregated per distinct-text group in ONE scan + ONE
+    map-side-combinable groupBy (r8, guide §2.3/§2.4): quality and langid
     are the oracled expressions re-used as columns (identical
-    floor-scaled values by construction), and the exact-dedup survivor
-    flag is doc_id == min(doc_id) over the text-hash group — computed as
-    a map-side-combinable groupBy(min) joined back (merge-hinted: one
-    row per distinct text, never broadcast at scale), so a
-    mass-duplicated text collapses to one partial row per mapper instead
-    of colocating and sorting every copy in one rank-window task (the
-    r2-r4 shape).  The min branch prunes to (text) only — its second
-    scan reads one column and computes one md5, no quality/langid math.
-    The join key is dedup._text_hash() — null-pinned (ADVICE r5), so a
-    NULL-text doc still appears in the flags table (one dup group of all
-    NULL texts) instead of being silently dropped by the inner join."""
+    floor-scaled values by construction), and the exact-dedup survivor is
+    the group's argmin-by-doc_id row, taken as min(struct(doc_id, ...))
+    inside the same aggregation — doc_id is globally unique, so the
+    struct min IS the keeper row with its own scores attached.  The r5-r7
+    shape scanned documents twice (flags + a pruned min branch) and
+    merge-joined them back on text_hash; the keeper flag never needed the
+    join — it is a per-group aggregate, and folding it into the group
+    rollup deletes a full scan, an md5 pass and a corpus-sized sort-merge
+    join while keeping the two-level discipline (a mass-duplicated text
+    still collapses to one partial row per mapper; nothing is broadcast).
+    The group key is dedup._text_hash() — null-pinned (ADVICE r5), so
+    NULL-text docs form one group instead of being dropped."""
     d = textqc.documents(spark, sf_dir)
     q = textqc.quality_exprs(F.col("text"), shared.words(F.col("text")))
     _, pred = textqc.langid_profile_exprs(shared.words(F.col("text")))
@@ -50,28 +52,34 @@ def _doc_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred.alias("lang_pred"),
         _text_hash().alias("text_hash"),
     )
-    mins = (
-        textqc.documents(spark, sf_dir)
-        .select("doc_id", _text_hash().alias("text_hash"))
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("min_doc"))
-        .hint("merge")
+    q_ok = F.col("quality_e6") >= QUALITY_MIN_E6
+    l_ok = F.col("lang_pred").isin(*KEEP_LANGS)
+    return base.groupBy("text_hash").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(q_ok.cast("long")).alias("n_quality"),
+        F.sum(l_ok.cast("long")).alias("n_lang"),
+        F.min(F.struct("doc_id", "quality_e6", "lang_pred")).alias("keeper"),
     )
-    return base.join(mins, "text_hash").withColumn(
-        "is_keeper", F.col("doc_id") == F.col("min_doc")
-    )
+
+
+def _keeper_ok():
+    return (F.col("keeper.quality_e6") >= QUALITY_MIN_E6) & F.col(
+        "keeper.lang_pred"
+    ).isin(*KEEP_LANGS)
 
 
 def q_clean_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_ids that survive the full cleaning funnel, with their scores."""
+    """doc_ids that survive the full cleaning funnel, with their scores.
+    Survivors are exactly the group keepers whose own row passes both
+    gates — emitted straight from the group rollup, join-free."""
     return (
-        _doc_flags(spark, sf_dir)
-        .filter(
-            (F.col("quality_e6") >= QUALITY_MIN_E6)
-            & F.col("lang_pred").isin(*KEEP_LANGS)
-            & F.col("is_keeper")
+        _group_flags(spark, sf_dir)
+        .filter(_keeper_ok())
+        .select(
+            F.col("keeper.doc_id").alias("doc_id"),
+            F.col("keeper.quality_e6").alias("quality_e6"),
+            F.col("keeper.lang_pred").alias("lang_pred"),
         )
-        .select("doc_id", "quality_e6", "lang_pred")
     )
 
 
@@ -96,14 +104,12 @@ def q_clean_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many docs each gate removed — crumble's end-of-run counters).
     One conditional aggregation over the single-scan flags table, then a
     4-row unpivot — no unions of re-scans, no driver-side actions."""
-    f = _doc_flags(spark, sf_dir)
-    q_ok = F.col("quality_e6") >= QUALITY_MIN_E6
-    l_ok = F.col("lang_pred").isin(*KEEP_LANGS)
+    f = _group_flags(spark, sf_dir)
     agg = f.agg(
-        F.count("*").alias("c0"),
-        F.sum(q_ok.cast("long")).alias("c1"),
-        F.sum(l_ok.cast("long")).alias("c2"),
-        F.sum((q_ok & l_ok & F.col("is_keeper")).cast("long")).alias("c3"),
+        F.sum("n_docs").alias("c0"),
+        F.sum("n_quality").alias("c1"),
+        F.sum("n_lang").alias("c2"),
+        F.sum(_keeper_ok().cast("long")).alias("c3"),
     )
     return agg.select(
         F.expr(

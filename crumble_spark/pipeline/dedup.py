@@ -758,6 +758,12 @@ def _simhash48_edges(
     fam_ok = fam.filter(F.col("has_word")).select("th", "rep").hint("merge")
     # rep = family min doc_id, so rep < doc_id: the doc_a < doc_b pair
     # invariant holds by construction on star edges.
+    # Skew bound (ADVICE r7): a mass-dup family makes th a hot join key
+    # here, but the rows are narrow (ints + one hash), the output is
+    # linear, and the build side carries exactly ONE row per th — so AQE
+    # skew-join (enabled in session.py) can split the probe-side
+    # partition freely, duplicating the 1-row build slice per split; the
+    # residual single-key bound is a streamed O(k) pass, never a buffer.
     star = (
         d.select("doc_id", "th")
         .join(fam_ok, "th")

@@ -79,6 +79,11 @@ def main() -> None:
                 "n_empty_invocations": len(empty),
                 "n_passes": len(passes),
                 "n_calm_passes": len(calm),
+                # exact exclusion boundary, recorded so consumers see the
+                # choice (ADVICE r7): calm passes with efficiency above
+                # this are reported under superunity_calm_passes, never
+                # under the calm-named keys
+                "superunity_cutoff": 1.0,
                 "n_superunity_calm_passes": len(superunity),
                 "superunity_calm_passes": superunity,
                 "best_of_each_level": best,

@@ -608,3 +608,43 @@ def test_ann_ivf_recall_floor(spark):
     assert brute
     recall = len(brute & ivf) / len(brute)
     assert recall >= 0.6, f"IVF recall collapsed: {recall:.3f}"
+
+
+# --- r8 optimization-shape pins ---------------------------------------------
+
+
+def test_minhash_signature_pipeline_computed_once(spark):
+    # r8: the cap's count branch and probe branch cannot share an
+    # exchange (differing projections — the r5 finding), so the banded
+    # rows are localCheckpointed and BOTH branches must read the
+    # materialized feed: no parquet scan (i.e. no second signature
+    # pipeline) may appear in the executed plan.
+    plan = _plan(dedup.q_dedup_minhash(spark, SF_DIR))
+    assert "Scan parquet" not in plan, plan[:2000]
+    assert "ExistingRDD" in plan
+    plan48 = _plan(dedup.q_simhash48_pairs(spark, SF_DIR))
+    assert "Scan parquet" not in plan48, plan48[:2000]
+    assert "ExistingRDD" in plan48
+
+
+def test_clean_manifest_and_funnel_are_join_free(spark):
+    # r8: the exact-dedup survivor is folded into the text_hash group
+    # rollup as min(struct(doc_id, ...)) — the old two-scan + sort-merge
+    # join shape must not come back (one scan, zero joins).
+    from crumble_spark.pipeline import curate
+
+    for q in (curate.q_clean_manifest, curate.q_clean_funnel):
+        plan = _plan(q(spark, SF_DIR))
+        assert "Join" not in plan, plan[:2000]
+        assert plan.count("Scan parquet") == 1, plan[:2000]
+
+
+def test_samplers_do_not_build_token_arrays(spark):
+    # r8: n_tok == size(words) by construction — the md5-per-word token
+    # transform must not appear in the sampler scans (the only md5s left
+    # belong to the doc_id bucket hash).
+    from crumble_spark.pipeline import sampling
+
+    for q in (sampling.q_sample_token_budget, sampling.q_pack_plan):
+        plan = _plan(q(spark, SF_DIR))
+        assert "size(transform(" not in plan, plan[:2000]

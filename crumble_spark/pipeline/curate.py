@@ -43,14 +43,29 @@ def _group_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     still collapses to one partial row per mapper; nothing is broadcast).
     The group key is dedup._text_hash() — null-pinned (ADVICE r5), so
     NULL-text docs form one group instead of being dropped."""
-    d = textqc.documents(spark, sf_dir)
-    q = textqc.quality_exprs(F.col("text"), shared.words(F.col("text")))
-    _, pred = textqc.langid_profile_exprs(shared.words(F.col("text")))
-    base = d.select(
+    w = textqc._with_words(textqc.documents(spark, sf_dir))
+    qf = textqc.quality_feature_exprs(F.col("text"), F.col("ws"))
+    raw = textqc.profile_score_exprs(F.col("ws"))
+    langs = sorted(textqc.LANG_PROFILES)
+    # r8 staging (see textqc._with_words): words, then every raw feature/
+    # profile score, materialize exactly once; the score/argmax exprs in
+    # the outer projection read attributes (the r7 inline plan carried 53
+    # copies of the split and ~3 evaluations of each profile score)
+    feat = w.select(
         "doc_id",
-        F.floor(q["score"] * 1_000_000).cast("long").alias("quality_e6"),
-        pred.alias("lang_pred"),
         _text_hash().alias("text_hash"),
+        qf["n_words"].alias("_nw"),
+        qf["mean_wl"].alias("_mwl"),
+        qf["stop"].alias("_stop"),
+        *[raw[lang].alias(f"_sc_{lang}") for lang in langs],
+    )
+    score = textqc.quality_score_expr(F.col("_nw"), F.col("_mwl"), F.col("_stop"))
+    pred = textqc.langid_pred_expr({lang: F.col(f"_sc_{lang}") for lang in langs})
+    base = feat.select(
+        "doc_id",
+        F.floor(score * 1_000_000).cast("long").alias("quality_e6"),
+        pred.alias("lang_pred"),
+        "text_hash",
     )
     q_ok = F.col("quality_e6") >= QUALITY_MIN_E6
     l_ok = F.col("lang_pred").isin(*KEEP_LANGS)

@@ -39,10 +39,46 @@ def _stop_ratio(ws, stoplist):
     return hits / F.greatest(F.size(ws), F.lit(1))
 
 
+def _with_words(d: DataFrame) -> DataFrame:
+    """(doc_id, text, ws) staging projection (r8, guide §1.2).
+
+    CollapseProject refuses to inline a non-cheap alias that the outer
+    projection references more than once, so splitting the words array
+    into its own Project makes the whitespace split run ONCE per row —
+    the r7 plans spelled `split(coalesce(text,...))` out per consumer
+    expression (53 copies in the curation-funnel projection).  Score
+    values are bit-identical: the consumers' expressions are unchanged,
+    they just read the materialized `ws` attribute."""
+    return d.select("doc_id", "text", shared.words(F.col("text")).alias("ws"))
+
+
 def _stop_ratio_sql(ws_sql: str, stoplist) -> str:
     lst = ", ".join(f"'{w}'" for w in stoplist)
     return (
         f"len(list_filter({ws_sql}, w -> w IN ({lst}))) * 1.0 / greatest(len({ws_sql}), 1)"
+    )
+
+
+def quality_feature_exprs(text: F.Column, ws: F.Column) -> dict:
+    """Raw quality FEATURE expressions over (text, words) columns — the
+    per-row inputs the composite score is assembled from.  Staged
+    consumers materialize these as columns first (one evaluation each)
+    and build the score with quality_score_expr over the attributes;
+    values are bit-identical to the r7 inline spelling (same
+    expressions, same double math, same fold order)."""
+    n_words = F.size(ws)
+    letters = F.length(F.regexp_replace(text, " ", ""))
+    mean_wl = letters / F.greatest(n_words, F.lit(1))
+    stop = _stop_ratio(ws, STOP_EN)
+    return {"n_words": n_words, "mean_wl": mean_wl, "stop": stop}
+
+
+def quality_score_expr(n_words: F.Column, mean_wl: F.Column, stop: F.Column) -> F.Column:
+    """Composite score from (already-evaluated) feature columns."""
+    return (
+        F.least(F.lit(1.0), n_words / F.lit(80.0)) * 0.4
+        + F.least(stop * 4, F.lit(1.0)) * 0.4
+        + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
     )
 
 
@@ -51,16 +87,9 @@ def quality_exprs(text: F.Column, ws: F.Column) -> dict:
     exposed so composites (curate) can compute them in the SAME scan
     instead of re-joining q_text_quality's output; values are identical
     by construction (same expressions, same floor scaling)."""
-    n_words = F.size(ws)
-    letters = F.length(F.regexp_replace(text, " ", ""))
-    mean_wl = letters / F.greatest(n_words, F.lit(1))
-    stop = _stop_ratio(ws, STOP_EN)
-    score = (
-        F.least(F.lit(1.0), n_words / F.lit(80.0)) * 0.4
-        + F.least(stop * 4, F.lit(1.0)) * 0.4
-        + F.when((mean_wl >= 3.0) & (mean_wl <= 8.0), F.lit(0.2)).otherwise(F.lit(0.0))
-    )
-    return {"n_words": n_words, "mean_wl": mean_wl, "stop": stop, "score": score}
+    e = quality_feature_exprs(text, ws)
+    e["score"] = quality_score_expr(e["n_words"], e["mean_wl"], e["stop"])
+    return e
 
 
 def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,15 +97,25 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     score = 0.4*min(1, n_words/80) + 0.4*stop_ratio*4 (capped at 0.4)
           + 0.2*(mean_word_len between 3 and 8)
-    """
-    d = documents(spark, sf_dir)
-    e = quality_exprs(F.col("text"), shared.words(F.col("text")))
-    return d.select(
+
+    r8 staging: words, then the three raw features, each materialize in
+    their own projection (see _with_words) — the r7 inline plan
+    re-spelled the split and each feature per consumer expression."""
+    w = _with_words(documents(spark, sf_dir))
+    e = quality_feature_exprs(F.col("text"), F.col("ws"))
+    f = w.select(
         "doc_id",
-        e["n_words"].cast("int").alias("n_words"),
-        F.floor(e["mean_wl"] * 1_000_000).cast("long").alias("mean_wl_e6"),
-        F.floor(e["stop"] * 1_000_000).cast("long").alias("stop_ratio_e6"),
-        F.floor(e["score"] * 1_000_000).cast("long").alias("quality_e6"),
+        e["n_words"].alias("_nw"),
+        e["mean_wl"].alias("_mwl"),
+        e["stop"].alias("_stop"),
+    )
+    score = quality_score_expr(F.col("_nw"), F.col("_mwl"), F.col("_stop"))
+    return f.select(
+        "doc_id",
+        F.col("_nw").cast("int").alias("n_words"),
+        F.floor(F.col("_mwl") * 1_000_000).cast("long").alias("mean_wl_e6"),
+        F.floor(F.col("_stop") * 1_000_000).cast("long").alias("stop_ratio_e6"),
+        F.floor(score * 1_000_000).cast("long").alias("quality_e6"),
     )
 
 
@@ -102,16 +141,19 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language/domain ID with deterministic argmax tie-break.
     (On this synthetic corpus the 'languages' are vocabulary profiles; the
     operator shape — per-profile hit ratio → argmax — is the real thing.)"""
-    d = documents(spark, sf_dir)
-    ws = shared.words(F.col("text"))
-    en = _stop_ratio(ws, STOP_EN)
-    qy = _stop_ratio(ws, MARKER_QUERY)
+    w = _with_words(documents(spark, sf_dir))
+    s = w.select(
+        "doc_id",
+        _stop_ratio(F.col("ws"), STOP_EN).alias("_en"),
+        _stop_ratio(F.col("ws"), MARKER_QUERY).alias("_qy"),
+    )
+    en, qy = F.col("_en"), F.col("_qy")
     pred = (
         F.when((en >= qy) & (en >= 0.05), F.lit("en"))
         .when(qy > en, F.lit("qry"))
         .otherwise(F.lit("unk"))
     )
-    return d.select(
+    return s.select(
         "doc_id",
         F.floor(en * 1_000_000).cast("long").alias("en_score_e6"),
         F.floor(qy * 1_000_000).cast("long").alias("qry_score_e6"),
@@ -133,18 +175,31 @@ def _q_langid_sql() -> str:
     )
 
 
-def langid_profile_exprs(ws: F.Column) -> tuple[dict, F.Column]:
-    """({lang: score_col}, lang_pred_col) over a words column — exposed
-    for single-scan composites (curate); identical expressions to
-    q_langid_profiles."""
+def profile_score_exprs(ws: F.Column) -> dict:
+    """{lang: raw hit-ratio score} over a words column."""
+    return {
+        lang: _stop_ratio(ws, LANG_PROFILES[lang]) for lang in sorted(LANG_PROFILES)
+    }
+
+
+def langid_pred_expr(score_cols: dict) -> F.Column:
+    """argmax-with-alphabetical-tie-break prediction from
+    (already-evaluated) per-language score columns."""
     langs = sorted(LANG_PROFILES)
-    scores = {lang: _stop_ratio(ws, LANG_PROFILES[lang]) for lang in langs}
-    mx = F.greatest(*[scores[lang] for lang in langs])
+    mx = F.greatest(*[score_cols[lang] for lang in langs])
     pick = F.lit("unk")
     for lang in reversed(langs):  # alphabetical-first wins ties
-        pick = F.when(scores[lang] == mx, F.lit(lang)).otherwise(pick)
-    pred = F.when(mx < LANG_MIN_SCORE, F.lit("unk")).otherwise(pick)
-    return scores, pred
+        pick = F.when(score_cols[lang] == mx, F.lit(lang)).otherwise(pick)
+    return F.when(mx < LANG_MIN_SCORE, F.lit("unk")).otherwise(pick)
+
+
+def langid_profile_exprs(ws: F.Column) -> tuple[dict, F.Column]:
+    """({lang: score_col}, lang_pred_col) over a words column — the
+    inline (unstaged) composition, kept for expression-level reuse;
+    staged consumers materialize profile_score_exprs as columns first
+    and apply langid_pred_expr to the attributes (identical values)."""
+    scores = profile_score_exprs(ws)
+    return scores, langid_pred_expr(scores)
 
 
 def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,14 +207,22 @@ def q_langid_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile as the doc's hit ratio against that language's function words,
     argmax with an alphabetical tie-break, 'unk' below LANG_MIN_SCORE.
     Pure Catalyst (one pass over the words array per profile), so the
-    whole classifier is a projection — no shuffle, no UDF."""
-    d = documents(spark, sf_dir)
-    scores, pred = langid_profile_exprs(shared.words(F.col("text")))
-    cols = [
-        F.floor(scores[lang] * 1_000_000).cast("long").alias(f"{lang}_score_e6")
-        for lang in sorted(LANG_PROFILES)
+    whole classifier is a projection — no shuffle, no UDF.
+
+    r8 staging: the split and then each profile score materialize once
+    (own projections); the r7 inline plan re-evaluated every score ~3x
+    (output column + greatest + tie chain), each dragging its own copy
+    of the split."""
+    w = _with_words(documents(spark, sf_dir))
+    raw = profile_score_exprs(F.col("ws"))
+    langs = sorted(LANG_PROFILES)
+    s = w.select("doc_id", *[raw[lang].alias(f"_sc_{lang}") for lang in langs])
+    cols = {lang: F.col(f"_sc_{lang}") for lang in langs}
+    out = [
+        F.floor(cols[lang] * 1_000_000).cast("long").alias(f"{lang}_score_e6")
+        for lang in langs
     ]
-    return d.select("doc_id", *cols, pred.alias("lang_pred"))
+    return s.select("doc_id", *out, langid_pred_expr(cols).alias("lang_pred"))
 
 
 def _q_langid_profiles_sql() -> str:
@@ -186,14 +249,14 @@ def _q_langid_profiles_sql() -> str:
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace token count + BPE-ish subword estimate (ceil(len/4) per
     word — a fixed-fanout stand-in for a merge-table tokenizer)."""
-    d = documents(spark, sf_dir)
-    ws = shared.words(F.col("text"))
+    w = _with_words(documents(spark, sf_dir))
+    ws = F.col("ws")
     bpe = F.aggregate(
         ws,
         F.lit(0).cast("long"),
         lambda acc, w: acc + F.floor((F.length(w) + 3) / F.lit(4.0)).cast("long"),
     )
-    return d.select(
+    return w.select(
         "doc_id",
         F.size(ws).cast("int").alias("n_ws_tokens"),
         bpe.alias("n_bpe_tokens"),

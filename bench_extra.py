@@ -76,7 +76,7 @@ def main() -> None:
         spark.sparkContext.setJobDescription(None)
         out[name] = round(best, 3)
 
-    from bench import _cpu_jiffies, _kernel_probe_mtoks
+    from bench import _kernel_probe_mtoks
 
     extras = {"probe_mtoks_core": _kernel_probe_mtoks()}
     try:
